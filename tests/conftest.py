@@ -13,3 +13,13 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 os.environ["JAX_ENABLE_X64"] = "1"
+
+# A pytest plugin may have imported jax before this file ran, locking in the
+# wrong settings — update the live config as well.
+import jax
+
+jax.config.update("jax_enable_x64", True)
+try:
+    jax.config.update("jax_platforms", "cpu")
+except RuntimeError:
+    pass
