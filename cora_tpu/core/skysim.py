@@ -1,0 +1,230 @@
+"""Correlated full-sky Gaussian realisations — the synthesis hot path.
+
+Re-design of the reference ``cora/core/skysim.py``.  The pipeline is
+"quadrature → per-ell linear algebra → SHT" (SURVEY.md §7):
+
+1. ``clarray`` tabulates C_l(z, z') with finite channel-width integration
+   (Romberg oversampling, matching skysim.py:10-69 semantics, plus a
+   TPU-native sinc²-window mode that folds the channel integral into the
+   kpar direction of the DCT table at zero cost).
+2. ``mkfullsky`` draws correlated a_lm: batched per-ell matrix roots
+   (eigh-clipped, replacing the per-ell cholesky/eigh fallback loop of
+   skysim.py:114-121 + nputil.matrix_root_manynull with one fused XLA
+   program), a keyed-RNG complex-normal draw, and the native batched SHT.
+   The whole draw+transform is one jitted device program; the reference's
+   MPI ell→frequency redistribute (skysim.py:128) becomes a sharding
+   constraint under the mesh (see cora_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..healpix import sht as _sht
+from ..util import linalg
+
+
+def clarray(aps, lmax, zarray, zromb=3, zwidth=None):
+    """Tabulate C_l(z, z') over a redshift/frequency grid.
+
+    Parameters
+    ----------
+    aps : callable
+        Angular power spectrum function aps(l, z1, z2) (broadcasting).
+    lmax : int
+        Maximum multipole.
+    zarray : np.ndarray
+        Channel centres (redshift or frequency, whatever `aps` expects).
+    zromb : int
+        Romberg order for channel-width integration; 0 = no integration.
+        (2**zromb + 1 sub-samples per channel; reference skysim.py:44.)
+    zwidth : float, optional
+        Channel width; default the spacing of the first two entries.
+
+    Returns
+    -------
+    cla : np.ndarray[lmax+1, nz, nz]
+    """
+    zarray = np.asarray(zarray, dtype=np.float64)
+
+    if zromb == 0:
+        return aps(
+            np.arange(lmax + 1)[:, np.newaxis, np.newaxis],
+            zarray[np.newaxis, :, np.newaxis],
+            zarray[np.newaxis, np.newaxis, :],
+        )
+
+    from scipy.integrate import romb
+
+    zsort = np.sort(zarray)
+    zhalf = np.abs(zsort[1] - zsort[0]) / 2.0 if zwidth is None else zwidth / 2.0
+    zlen = zarray.size
+    zint = 2**zromb + 1
+    zspace = 2.0 * zhalf / 2**zromb
+
+    za = (
+        zarray[:, np.newaxis] + np.linspace(-zhalf, zhalf, zint)[np.newaxis, :]
+    ).flatten()
+
+    lsections = np.array_split(np.arange(lmax + 1), max(lmax // 5, 1))
+
+    cla = np.zeros((lmax + 1, zlen, zlen), dtype=np.float64)
+
+    for lsec in lsections:
+        clt = aps(
+            lsec[:, np.newaxis, np.newaxis],
+            za[np.newaxis, :, np.newaxis],
+            za[np.newaxis, np.newaxis, :],
+        )
+        clt = clt.reshape(-1, zlen, zint, zlen, zint)
+        clt = romb(clt, dx=zspace, axis=4)
+        clt = romb(clt, dx=zspace, axis=2)
+        cla[lsec] = clt / (2 * zhalf) ** 2
+
+    return cla
+
+
+def draw_correlated_alm(corr, key, dtype=jnp.complex128):
+    """Draw a_lm with per-ell covariance C_l(z, z') (jittable).
+
+    Parameters
+    ----------
+    corr : jnp.ndarray[lmax+1, nz, nz]
+        Per-multipole frequency-frequency covariance.
+    key : jax.random.PRNGKey
+
+    Returns
+    -------
+    alm : jnp.ndarray[nz, lmax+1, lmax+1] complex — dense [l, m] layout.
+    """
+    lmax1, numz, _ = corr.shape
+    rdtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+
+    corr = corr.astype(rdtype)
+    # jitter for positive definiteness (reference skysim.py:116-117)
+    cmax = jnp.max(
+        jnp.abs(jnp.diagonal(corr, axis1=-2, axis2=-1)), axis=-1, keepdims=True
+    )
+    corrm = corr + (cmax * 1e-14)[..., None] * jnp.eye(numz, dtype=rdtype)
+
+    # batched matrix roots over ell — single fused eigh kernel
+    trans = linalg.batch_matrix_root(corrm)  # [L, nz, nz]
+
+    gauss = linalg.complex_std_normal(key, (lmax1, numz, lmax1), dtype=rdtype)
+
+    # alm[l, z, m] = sum_z' trans[l, z, z'] xi[l, z', m], masked to m <= l
+    alm = jnp.einsum("lzy,lym->lzm", trans.astype(dtype), gauss)
+    mmask = (jnp.arange(lmax1)[None, :] <= jnp.arange(lmax1)[:, None])[:, None, :]
+    alm = alm * mmask
+    return jnp.moveaxis(alm, 0, 1)  # [nz, l, m]
+
+
+def mkfullsky(corr, nside, alms=False, key=None, rng=None, dtype=jnp.complex128):
+    """Construct a set of correlated HEALPix maps from C_l(z, z').
+
+    Parameters
+    ----------
+    corr : np.ndarray[lmax+1, numz, numz]
+        The correlation matrix C_l(z, z').
+    nside : int
+        HEALPix resolution of the output maps.
+    alms : bool
+        If True return the dense a_lm array instead of maps.
+    key : jax.random.PRNGKey, optional
+        RNG key (keyed JAX RNG replaces the reference's global numpy RNG;
+        statistics match, streams intentionally do not).
+    rng : np.random.Generator, optional
+        Accepted for API compatibility: if given (and no key), its bits
+        seed a JAX key.
+
+    Returns
+    -------
+    hpmaps : np.ndarray[numz, npix]  (or alm array if alms=True)
+    """
+    corr = jnp.asarray(np.asarray(corr))
+    maxl = corr.shape[0] - 1
+    numz = corr.shape[1]
+    if corr.shape[2] != numz:
+        raise ValueError("Correlation matrix is incorrect shape.")
+
+    if key is None:
+        if rng is not None:
+            seed = int(rng.integers(0, 2**31 - 1)) if hasattr(rng, "integers") else int(
+                rng.randint(0, 2**31 - 1)
+            )
+        else:
+            seed = np.random.randint(0, 2**31 - 1)
+        key = jax.random.PRNGKey(seed)
+
+    alm = draw_correlated_alm(corr, key, dtype=dtype)
+
+    if alms:
+        return np.asarray(alm)
+
+    sky = _sht.alm2map(alm, nside)
+    return np.asarray(sky)
+
+
+def mkfullsky_jit(corr, nside, lmax, key, dtype=jnp.complex64):
+    """Fully-jitted synthesis: corr (device array) + key -> maps (device).
+
+    This is the flagship single-program path used by the benchmark and the
+    multi-chip entry: draw + batched SHT fused into one XLA program.
+    """
+    op = _sht.get_sht(int(nside), int(lmax))
+
+    @jax.jit
+    def _run(corr, key):
+        alm = draw_correlated_alm(corr, key, dtype=dtype)
+        return op.synthesis(alm)
+
+    return _run(corr, key)
+
+
+def mkconstrained(corr, constraints, nside, key=None):
+    """Construct correlated maps satisfying constraints on given slices.
+
+    Eigen-mode construction matching the reference (skysim.py:139-201):
+    keep the largest `nmodes` eigenmodes per ell, solve for amplitudes that
+    reproduce the constraint maps at the given frequency indices, and
+    project across the full frequency range.
+
+    Parameters
+    ----------
+    corr : np.ndarray[lmax+1, numz, numz]
+    constraints : list of (freq_index, healpix_map)
+    nside : int
+
+    Returns
+    -------
+    hpmaps : np.ndarray[numz, npix]
+    """
+    corr = np.asarray(corr)
+    numz = corr.shape[1]
+    maxl = corr.shape[0] - 1
+    nmodes = len(constraints)
+    f_ind = [c[0] for c in constraints]
+
+    if corr.shape[2] != numz:
+        raise ValueError("Correlation matrix is incorrect shape.")
+
+    # Batched eigendecomposition over ell: largest nmodes eigenvectors.
+    evals, evecs = np.linalg.eigh(corr)  # [L, nz, nz]
+    trans = np.swapaxes(evecs[:, :, -nmodes:], 1, 2)  # [L, nmodes, nz]
+    tmat = trans[:, :, f_ind]  # [L, nmodes, nmodes]
+
+    # Constraint maps into harmonic space (batched analysis).
+    cons_maps = np.stack([np.asarray(c[1], dtype=np.float64) for c in constraints])
+    calm = np.asarray(_sht.map2alm(jnp.asarray(cons_maps), maxl, 3))  # [nm, l, m]
+
+    # Solve tmat[l].T x = calm[:, l, m] per ell, project: cv = trans.T @ x
+    # (l = 0 is zeroed as in the reference.)
+    cv = np.zeros((numz, maxl + 1, maxl + 1), dtype=np.complex128)
+    for l in range(1, maxl + 1):
+        x = np.linalg.solve(tmat[l].T, calm[:, l, :])  # [nmodes, m]
+        cv[:, l, :] = trans[l].T @ x  # [nz, m]
+
+    # zero m > l already guaranteed by calm structure
+    return np.asarray(_sht.alm2map(jnp.asarray(cv), nside))

@@ -1,0 +1,321 @@
+"""High-level SHT convenience API (reference hputil.py equivalent).
+
+Provides the ``sphtrans_*`` family, alm packing, coordinate rotations and
+pixel-angle helpers with the same array conventions as the reference
+(cora/util/hputil.py): dense 2D ``alm[l, m]`` arrays, "full-m" layouts for
+complex fields, and multi-frequency sky transforms — all backed by the
+native JAX SHT engine instead of healpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import pixel
+from . import sht as _sht
+
+# Analysis refinement iterations (accuracy contract mirroring the
+# reference's use_weights=True, iter=2; we use pixel weights + 3 Jacobi
+# iterations which lands in the same error band — see tests/test_sht.py).
+_iter = 3
+
+
+def ang_positions(nside):
+    """Angular position (theta, phi) of each pixel, packed [npix, 2]."""
+    npix = pixel.nside2npix(int(nside))
+    angpos = np.empty([npix, 2], dtype=np.float64)
+    angpos[:, 0], angpos[:, 1] = pixel.pix2ang(nside, np.arange(npix))
+    return angpos
+
+
+def nside_for_lmax(lmax, accuracy_boost=1):
+    """Power-of-two nside adequate for the given lmax."""
+    return int(2 ** (accuracy_boost + np.ceil(np.log((lmax + 1) / 3.0) / np.log(2.0))))
+
+
+def unpack_alm(alm, lmax, fullm=False):
+    """Unpack healpy-ordered packed alm into a dense 2D [l, m] array."""
+    almarray = np.zeros((lmax + 1, lmax + 1), dtype=alm.dtype)
+    (almarray.T)[np.triu_indices(lmax + 1)] = alm
+    if fullm:
+        almarray = _make_full_alm(almarray)
+    return almarray
+
+
+def pack_alm(almarray, lmax=None):
+    """Pack a dense 2D [l, m] alm array into healpy ordering."""
+    almarray = np.asarray(almarray)
+    if (2 * almarray.shape[1] - 1) == almarray.shape[0]:
+        almarray = _make_half_alm(almarray)
+    if not lmax:
+        lmax = almarray.shape[0] - 1
+    return (almarray.T)[np.triu_indices(lmax + 1)]
+
+
+def _make_full_alm(alm_half, centered=False):
+    """Extend an m >= 0 alm array to include negative m (reference layout)."""
+    alm_half = np.asarray(alm_half)
+    lmax, mmax = alm_half.shape[-2:]
+
+    alm = np.zeros(alm_half.shape[:-2] + (lmax, 2 * mmax - 1), dtype=alm_half.dtype)
+
+    alm_neg = alm_half[..., :, :0:-1].conj()
+    mfactor = (-1) ** np.arange(mmax)[:0:-1]
+    alm_neg = mfactor * alm_neg
+
+    if not centered:
+        alm[..., :lmax, :mmax] = alm_half
+        alm[..., :lmax, mmax:] = alm_neg
+    else:
+        alm[..., :lmax, (mmax - 1) :] = alm_half
+        alm[..., :lmax, : (mmax - 1)] = alm_neg
+    return alm
+
+
+def _make_half_alm(alm_full):
+    """Project a full-m alm array onto the real-field half (m >= 0)."""
+    alm_full = np.asarray(alm_full)
+    lside, mside = alm_full.shape[-2:]
+    alm = np.zeros(alm_full.shape[:-2] + (lside, lside), dtype=alm_full.dtype)
+    alm[..., 0] = alm_full[..., :, 0]
+    for mi in range(1, lside):
+        alm[..., mi] = 0.5 * (
+            alm_full[..., mi] + (-1) ** mi * alm_full[..., -mi].conj()
+        )
+    return alm
+
+
+# ---------------------------------------------------------------------------
+# Scalar (spin-0) transforms
+# ---------------------------------------------------------------------------
+
+def sphtrans_real(hpmap, lmax=None, lside=None):
+    """Forward SHT of a real map → alm[l, m] (m >= 0 half)."""
+    hpmap = np.asarray(hpmap)
+    if lmax is None:
+        lmax = 3 * pixel.npix2nside(hpmap.shape[-1]) - 1
+    if lside is None or lside < lmax:
+        lside = lmax
+
+    tlm = np.asarray(_sht.map2alm(hpmap.astype(np.float64), lmax, _iter))
+    if lside > lmax:
+        alm = np.zeros(hpmap.shape[:-1] + (lside + 1, lside + 1), dtype=np.complex128)
+        alm[..., : lmax + 1, : lmax + 1] = tlm
+        return alm
+    return tlm
+
+
+def sphtrans_inv_real(alm, nside):
+    """Inverse SHT of an [l, m] (m >= 0) alm array onto a real map."""
+    alm = np.asarray(alm)
+    if alm.shape[-1] != alm.shape[-2]:
+        raise ValueError("a_lm array wrong shape.")
+    return np.asarray(_sht.alm2map(jnp.asarray(alm), nside))
+
+
+def sphtrans_complex(hpmap, lmax=None, centered=False, lside=None):
+    """Forward SHT of a complex map → full-m alm array."""
+    hpmap = np.asarray(hpmap)
+    if lmax is None:
+        lmax = 3 * pixel.npix2nside(hpmap.shape[-1]) - 1
+    alm = _make_full_alm(
+        sphtrans_real(hpmap.real, lmax=lmax, lside=lside), centered=centered
+    )
+    alm = alm + 1.0j * _make_full_alm(
+        sphtrans_real(hpmap.imag, lmax=lmax, lside=lside), centered=centered
+    )
+    return alm
+
+
+def sphtrans_inv_complex(alm, nside):
+    """Inverse SHT onto a complex field from a full-m alm array."""
+    alm = np.asarray(alm)
+    if alm.shape[-1] != (2 * alm.shape[-2] - 1):
+        raise ValueError("a_lm array wrong shape: " + repr(alm.shape))
+    almr = _make_half_alm(alm)
+    almi = 1.0j * (alm[..., :, : almr.shape[-1]] - almr)
+    return sphtrans_inv_real(almr, nside) + 1.0j * sphtrans_inv_real(almi, nside)
+
+
+# ---------------------------------------------------------------------------
+# Polarised (spin-2) transforms
+# ---------------------------------------------------------------------------
+
+def sphtrans_real_pol(hpmaps, lmax=None, lside=None):
+    """Forward SHT of [T, Q, U(, V)] maps → (a^T, a^E, a^B(, a^V)) alms."""
+    from . import spin as _spin
+
+    hpmaps = np.asarray(hpmaps)
+    if lmax is None:
+        lmax = 3 * pixel.npix2nside(hpmaps.shape[-1]) - 1
+    if lside is None or lside < lmax:
+        lside = lmax
+
+    npol = hpmaps.shape[0]
+    alms = np.zeros((npol, lside + 1, lside + 1), dtype=np.complex128)
+
+    alms[0, : lmax + 1, : lmax + 1] = sphtrans_real(hpmaps[0], lmax)
+    E, B = _spin.map2alm_spin(hpmaps[1], hpmaps[2], 2, lmax, iter=_iter)
+    alms[1, : lmax + 1, : lmax + 1] = np.asarray(E)
+    alms[2, : lmax + 1, : lmax + 1] = np.asarray(B)
+    if npol == 4:
+        alms[3, : lmax + 1, : lmax + 1] = sphtrans_real(hpmaps[3], lmax)
+    return alms
+
+
+def sphtrans_inv_real_pol(alm, nside):
+    """Inverse polarised SHT: (a^T, a^E, a^B(, a^V)) → [T, Q, U(, V)] maps."""
+    from . import spin as _spin
+
+    alm = np.asarray(alm)
+    npol = alm.shape[0]
+    if alm.shape[1] != alm.shape[2] or npol not in (3, 4):
+        raise ValueError("a_lm array wrong shape.")
+
+    maps = np.zeros((npol, pixel.nside2npix(nside)), dtype=np.float64)
+    maps[0] = sphtrans_inv_real(alm[0], nside)
+    Q, U = _spin.alm2map_spin(jnp.asarray(alm[1]), jnp.asarray(alm[2]), 2, nside)
+    maps[1] = np.asarray(Q)
+    maps[2] = np.asarray(U)
+    if npol == 4:
+        maps[3] = sphtrans_inv_real(alm[3], nside)
+    return maps
+
+
+def sphtrans_complex_pol(hpmaps, lmax=None, centered=False, lside=None):
+    """Forward polarised SHT of complex [T, Q, U(, V)] maps (full-m output)."""
+    hpmaps = np.asarray(hpmaps)
+    if lmax is None:
+        lmax = 3 * pixel.npix2nside(hpmaps.shape[-1]) - 1
+    alm = _make_full_alm(
+        sphtrans_real_pol(hpmaps.real, lmax=lmax, lside=lside), centered=centered
+    )
+    alm = alm + 1.0j * _make_full_alm(
+        sphtrans_real_pol(hpmaps.imag, lmax=lmax, lside=lside), centered=centered
+    )
+    return alm
+
+
+# ---------------------------------------------------------------------------
+# Multi-frequency sky transforms
+# ---------------------------------------------------------------------------
+
+def sphtrans_sky(skymap, lmax=None):
+    """Transform a [freq, (pol,) pix] sky to alms, batched on device."""
+    skymap = np.asarray(skymap)
+    pol = (skymap.ndim == 3) and (skymap.shape[1] >= 3)
+
+    if lmax is None:
+        lmax = 3 * pixel.npix2nside(skymap.shape[-1]) - 1
+
+    if pol:
+        return np.stack(
+            [sphtrans_real_pol(skymap[i].astype(np.float64), lmax) for i in range(skymap.shape[0])]
+        )
+    return np.asarray(
+        _sht.map2alm(jnp.asarray(skymap.astype(np.float64)), lmax, _iter)
+    )
+
+
+def sphtrans_inv_sky(alm, nside):
+    """Invert [freq, pol, l, m] alms into a [freq, pol, pix] sky.
+
+    The unpolarised case (npol == 1) is a single batched device synthesis —
+    the per-frequency healpy loop of the reference (hputil.py:500-531)
+    becomes one XLA program.
+    """
+    alm = np.asarray(alm)
+    nfreq, npol = alm.shape[0], alm.shape[1]
+
+    if npol == 1:
+        sky = _sht.alm2map(jnp.asarray(alm[:, 0]), nside)
+        return np.asarray(sky)[:, np.newaxis, :]
+
+    sky_freq = np.empty((nfreq, npol, pixel.nside2npix(nside)), dtype=np.float64)
+    for i in range(nfreq):
+        if npol >= 3:
+            sky_freq[i] = sphtrans_inv_real_pol(alm[i], nside)
+        else:
+            sky_freq[i, 0] = sphtrans_inv_real(alm[i, 0], nside)
+    return sky_freq
+
+
+# ---------------------------------------------------------------------------
+# Coordinate rotation
+# ---------------------------------------------------------------------------
+
+def _coord_matrix(x, y):
+    """Rotation matrix taking coordinate system y to x ('C', 'G', 'E')."""
+
+    # Galactic <-> Celestial (J2000) rotation; standard IAU values.
+    g2c = np.array(
+        [
+            [-0.0548755604, 0.4941094279, -0.8676661490],
+            [-0.8734370902, -0.4448296300, -0.1980763734],
+            [-0.4838350155, 0.7469822445, 0.4559837762],
+        ]
+    ).T
+    # Ecliptic <-> Celestial: rotation about x-axis by obliquity.
+    eps = np.radians(23.4392794)
+    e2c = np.array(
+        [
+            [1.0, 0.0, 0.0],
+            [0.0, np.cos(eps), -np.sin(eps)],
+            [0.0, np.sin(eps), np.cos(eps)],
+        ]
+    )
+
+    def to_c(s):
+        if s == "C":
+            return np.eye(3)
+        if s == "G":
+            return g2c
+        if s == "E":
+            return e2c
+        raise ValueError("Co-ordinate system invalid.")
+
+    return to_c(x).T @ to_c(y)
+
+
+def coord_x2y(map_, x, y):
+    """Rotate maps from coordinate system x into y via pixel interpolation.
+
+    Same scheme as the reference (hputil.py:534-566): evaluate the map at
+    the rotated pixel positions with bilinear-on-sphere interpolation.
+    """
+    if x not in ["C", "G", "E"] or y not in ["C", "G", "E"]:
+        raise ValueError("Co-ordinate system invalid.")
+
+    map_ = np.asarray(map_)
+    npix = map_.shape[-1]
+    nside = pixel.npix2nside(npix)
+
+    angpos = ang_positions(nside)
+    # Where does output pixel p (in y-coords) sample the input map (x-coords)?
+    rot = _coord_matrix(x, y)
+    vec = pixel.ang2vec(angpos[:, 0], angpos[:, 1])
+    vrot = vec @ rot
+    theta, phi = pixel.vec2ang(vrot)
+
+    flat = map_.reshape(-1, npix)
+    out = np.empty_like(flat)
+    for i in range(flat.shape[0]):
+        out[i] = pixel.get_interp_val(flat[i], theta, phi)
+    return out.reshape(map_.shape)
+
+
+def coord_g2c(map_):
+    """Rotate a map from galactic into celestial coordinates."""
+    return coord_x2y(map_, "G", "C")
+
+
+def coord_c2g(map_):
+    """Rotate a map from celestial into galactic coordinates."""
+    return coord_x2y(map_, "C", "G")
+
+
+def sph_ps(map1, map2=None, lmax=None):
+    """Cross power spectrum of two maps (fixes the reference's dead
+    hputil.sph_ps, hputil.py:607-619)."""
+    return np.asarray(_sht.anafast(map1, map2, lmax=lmax, iter=_iter))

@@ -1,0 +1,14 @@
+"""Device-mesh sharding layer.
+
+Replaces the reference's MPI distribution (caput.mpiarray; SURVEY.md L3)
+with jax.sharding over a device Mesh: the MPIArray ``redistribute(axis=…)``
+global transposes become sharding constraints inside one jitted program and
+XLA inserts the all-to-all collectives over ICI.
+"""
+
+from .mesh import (  # noqa: F401
+    make_mesh,
+    mkfullsky_sharded,
+    shard_over,
+    redistribute,
+)

@@ -1,0 +1,409 @@
+"""cora-makesky: command-line sky map generation.
+
+CLI-compatible re-implementation of the reference entry point
+(cora/scripts/makesky.py): same subcommands (foreground, galaxy,
+pointsource, 21cm, gaussianfg, singlesource), the same CHIME-style
+frequency specification (centre / centre_nyquist / edge modes with channel
+binning and selection), and the same memh5-compatible HDF5 map schema, so
+downstream draco/driftscan-style consumers can read the output unchanged.
+"""
+
+from __future__ import annotations
+
+import ast
+
+import click
+import numpy as np
+
+
+class ListOfType(click.ParamType):
+    """Click option type accepting a Python-literal list of a given type."""
+
+    def __init__(self, name, type_):
+        self.name = name
+        self.type = type_
+
+    def convert(self, value, param, ctx):
+        try:
+            val = ast.literal_eval(value)
+        except (SyntaxError, ValueError):
+            self.fail('Could not parse "%s" into list.' % value)
+        if not isinstance(val, list) or not all(
+            isinstance(x, self.type) for x in val
+        ):
+            self.fail('Could not parse "%s" into list of %r.' % (value, self.type))
+        return val
+
+
+class FreqState:
+    """Frequency specification accumulated from command-line options.
+
+    Modes (matching the CASPER PFB conventions used by CHIME):
+    - ``centre``: FSTART/FSTOP are the centres of the first and
+      one-past-last channel; the Nyquist channel is skipped.
+    - ``centre_nyquist``: as above but the last channel is included.
+    - ``edge``: FSTART/FSTOP are band edges, channels at bin centres.
+    """
+
+    def __init__(self):
+        self.freq = (800.0, 400.0, 1025)
+        self.channel_range = None
+        self.channel_list = None
+        self.channel_bin = 1
+        self.freq_mode = "centre"
+
+    @property
+    def frequencies(self):
+        return self._calculate()[0]
+
+    @property
+    def freq_width(self):
+        return self._calculate()[1]
+
+    def _calculate(self):
+        sf, ef, nf = self.freq
+        if self.freq_mode == "centre":
+            df = abs(ef - sf) / nf
+            frequencies = np.linspace(sf, ef, nf, endpoint=False)
+        elif self.freq_mode == "centre_nyquist":
+            df = abs((ef - sf) / (nf - 1))
+            frequencies = np.linspace(sf, ef, nf, endpoint=True)
+        else:
+            df = (ef - sf) / nf
+            frequencies = sf + df * (np.arange(nf) + 0.5)
+
+        if self.channel_bin > 1:
+            frequencies = frequencies.reshape(-1, self.channel_bin).mean(axis=1)
+            df = df * self.channel_bin
+
+        if self.channel_list is not None:
+            frequencies = frequencies[self.channel_list]
+        elif self.channel_range is not None and self.channel_range[0] is not None:
+            frequencies = frequencies[self.channel_range[0] : self.channel_range[1]]
+
+        return frequencies, df
+
+    @classmethod
+    def _set_attr(cls, ctx, param, value):
+        state = ctx.ensure_object(cls)
+        setattr(state, param.name, value)
+        return value
+
+    @classmethod
+    def options(cls, f):
+        FREQ = ListOfType("frequency list", int)
+        options = [
+            click.option(
+                "--freq",
+                help=(
+                    "Frequency channelisation: start and stop frequencies "
+                    "(MHz) and the effective number of channels. Default is "
+                    "the CHIME band: 800.0 400.0 1025."
+                ),
+                metavar="FSTART FSTOP FNUM",
+                type=(float, float, int),
+                default=(800.0, 400.0, 1024),
+                expose_value=False,
+                callback=cls._set_attr,
+            ),
+            click.option(
+                "--channel-range",
+                help="Select a range of frequency channels.",
+                type=(int, int),
+                metavar="CSTART CSTOP",
+                default=(None, None),
+                expose_value=False,
+                callback=cls._set_attr,
+            ),
+            click.option(
+                "--channel-list",
+                help="Select a list of channels (priority over range).",
+                type=FREQ,
+                metavar="CHANNEL LIST",
+                default=None,
+                expose_value=False,
+                callback=cls._set_attr,
+            ),
+            click.option(
+                "--channel-bin",
+                help="Average over BIN channels (before selection).",
+                metavar="BIN",
+                type=int,
+                default=1,
+                expose_value=False,
+                callback=cls._set_attr,
+            ),
+            click.option(
+                "--freq-mode",
+                type=click.Choice(["centre", "centre_nyquist", "edge"]),
+                default="centre",
+                help="Interpretation of FSTART/FSTOP (see command help).",
+                expose_value=False,
+                callback=cls._set_attr,
+            ),
+        ]
+        handle = click.make_pass_decorator(cls, ensure=True)(f)
+        for option in options:
+            handle = option(handle)
+        return handle
+
+
+def map_options(f):
+    """Shared options for map-producing subcommands."""
+    options = [
+        click.option(
+            "--nside",
+            help="Map resolution (default: 256)",
+            metavar="NSIDE",
+            default=256,
+        ),
+        click.option(
+            "--pol",
+            type=click.Choice(["full", "zero", "none"]),
+            default="full",
+            help="Polarisation mode: full IQUV, zero-padded, or Stokes I only.",
+        ),
+        click.option(
+            "--filename",
+            help="Output file [default=map.h5]",
+            metavar="FILENAME",
+            default="map.h5",
+        ),
+        click.option(
+            "--seed",
+            type=int,
+            default=None,
+            help="RNG seed for reproducible realisations.",
+        ),
+    ]
+    handle = FreqState.options(f)
+    for option in options:
+        handle = option(handle)
+    return handle
+
+
+@click.group()
+def cli():
+    """Generate a map of the low frequency radio sky.
+
+    TPU-native synthesis engine: the realisation runs as a single compiled
+    device program (correlated a_lm draw + native spherical harmonic
+    transform); multi-chip execution shards the frequency axis over a
+    jax.sharding.Mesh.
+    """
+
+
+@cli.command()
+@map_options
+@click.option(
+    "--maxflux",
+    default=1e6,
+    type=float,
+    help="Maximum point-source flux in Jy (default 1 MJy).",
+)
+def foreground(fstate, nside, pol, filename, seed, maxflux):
+    """Generate a full foreground sky map (galaxy + point sources)."""
+    if fstate.frequencies.shape[0] < 2:
+        click.echo("Number of frequencies must be more than two.")
+        return
+
+    from cora_tpu.foreground import galaxy, pointsource
+
+    gal = galaxy.ConstrainedGalaxy()
+    gal.nside = nside
+    gal.frequencies = fstate.frequencies
+    if seed is not None:
+        gal.seed = seed
+
+    cs = gal.getpolsky() if pol == "full" else gal.getsky()
+
+    ps = pointsource.CombinedPointSources.like_map(gal)
+    ps.flux_max = maxflux
+    if seed is not None:
+        ps.seed = seed + 1
+
+    cs = cs + (ps.getpolsky() if pol == "full" else ps.getsky())
+    write_map(filename, cs, gal.frequencies, fstate.freq_width, pol != "none")
+
+
+@cli.command()
+@map_options
+@click.option("--spectral-index", default="md", type=click.Choice(["md", "gsm", "gd"]))
+def galaxy(fstate, nside, pol, filename, seed, spectral_index):
+    """Generate a Milky Way synchrotron map (Haslam-constrained)."""
+    if fstate.frequencies.shape[0] < 2:
+        click.echo("Number of frequencies must be more than two.")
+        return
+
+    from cora_tpu.foreground import galaxy as galaxy_mod
+
+    gal = galaxy_mod.ConstrainedGalaxy()
+    gal.nside = nside
+    gal.frequencies = fstate.frequencies
+    gal.spectral_map = spectral_index
+    if seed is not None:
+        gal.seed = seed
+
+    cs = gal.getpolsky() if pol == "full" else gal.getsky()
+    write_map(filename, cs, gal.frequencies, fstate.freq_width, pol != "none")
+
+
+@cli.command()
+@map_options
+@click.option(
+    "--maxflux",
+    default=1e6,
+    type=float,
+    help="Maximum point-source flux in Jy (default 1 MJy).",
+)
+def pointsource(fstate, nside, pol, filename, seed, maxflux):
+    """Generate a point-source-only foreground map."""
+    from cora_tpu.foreground import pointsource as ps_mod
+
+    ps = ps_mod.CombinedPointSources()
+    ps.nside = nside
+    ps.frequencies = fstate.frequencies
+    ps.flux_max = maxflux
+    if seed is not None:
+        ps.seed = seed
+
+    cs = ps.getpolsky() if pol == "full" else ps.getsky()
+    write_map(filename, cs, ps.frequencies, fstate.freq_width, pol != "none")
+
+
+@cli.command("21cm")
+@map_options
+@click.option(
+    "--eor",
+    is_flag=True,
+    help="Use epoch-of-reionisation parameters instead of intensity mapping.",
+)
+@click.option(
+    "--oversample",
+    type=int,
+    default=None,
+    help="Oversample channels by 2**oversample + 1 points (Romberg).",
+)
+def _21cm(fstate, nside, pol, filename, seed, eor, oversample):
+    """Generate a Gaussian simulation of the unresolved 21cm background."""
+    from cora_tpu.signal import corr21cm
+
+    cr = corr21cm.EoR21cm() if eor else corr21cm.Corr21cm()
+    cr.nside = nside
+    cr.frequencies = fstate.frequencies
+    cr.oversample = oversample if oversample is not None else 3
+    if seed is not None:
+        cr.seed = seed
+
+    sg_map = cr.getpolsky() if pol == "full" else cr.getsky()
+    write_map(filename, sg_map, cr.frequencies, fstate.freq_width, pol != "none")
+
+
+@cli.command()
+@map_options
+def gaussianfg(fstate, nside, pol, filename, seed):
+    """Generate a full-sky Gaussian random synchrotron field."""
+    import jax
+
+    from cora_tpu.core import skysim
+    from cora_tpu.healpix import transforms as hputil
+    from cora_tpu.foreground import galaxy as galaxy_mod
+
+    fsyn = galaxy_mod.FullSkySynchrotron()
+    fpol = galaxy_mod.FullSkyPolarisedSynchrotron()
+
+    fsyn.frequencies = fstate.frequencies
+    nfreq = len(fsyn.frequencies)
+
+    lmax = 3 * nside
+    npol = 4 if pol == "full" else 1
+
+    cv_fg = np.zeros((lmax + 1, npol, nfreq, npol, nfreq))
+    cv_fg[:, 0, :, 0, :] = skysim.clarray(
+        fsyn.angular_powerspectrum, lmax, fsyn.nu_pixels
+    )
+    if pol == "full":
+        cv_fg[:, 1, :, 1, :] = skysim.clarray(
+            fpol.angular_powerspectrum, lmax, fsyn.nu_pixels
+        )
+        cv_fg[:, 2, :, 2, :] = skysim.clarray(
+            fpol.angular_powerspectrum, lmax, fsyn.nu_pixels
+        )
+
+    cv_fg = cv_fg.reshape(lmax + 1, npol * nfreq, npol * nfreq)
+
+    key = jax.random.PRNGKey(seed) if seed is not None else None
+    alms = skysim.mkfullsky(cv_fg, nside, alms=True, key=key).reshape(
+        npol, nfreq, lmax + 1, lmax + 1
+    )
+    alms = alms.transpose((1, 0, 2, 3))
+
+    maps = hputil.sphtrans_inv_sky(alms, nside)
+    write_map(filename, maps, fsyn.frequencies, fstate.freq_width, pol != "none")
+
+
+@cli.command()
+@map_options
+@click.option("--ra", type=float, help="RA (degrees) of the source.", default=0)
+@click.option("--dec", type=float, help="DEC (degrees) of the source.", default=0)
+def singlesource(fstate, nside, pol, filename, seed, ra, dec):
+    """Generate a test map with a single unit source at the given position."""
+    from cora_tpu.healpix import pixel
+
+    nfreq = len(fstate.frequencies)
+    npol = 4 if pol == "full" else 1
+
+    map_ = np.zeros((nfreq, npol, 12 * nside**2), dtype=np.float64)
+    theta = np.radians(90.0 - dec)
+    phi = np.radians(ra)
+    map_[:, 0, pixel.ang2pix(nside, theta, phi)[0]] = 1.0
+
+    write_map(filename, map_, fstate.frequencies, fstate.freq_width, pol != "none")
+
+
+def write_map(filename, data, freq, fwidth=None, include_pol=True):
+    """Write a map into the memh5-compatible HDF5 schema.
+
+    Schema matches the reference writer (makesky.py:412-450): dataset
+    ``map[freq, pol, pixel]`` with axis attributes, plus
+    ``index_map/{freq,pol,pixel}``.
+    """
+    import h5py
+
+    data = np.asarray(data)
+    if data.ndim == 3:
+        polmap = np.array(["I", "Q", "U", "V"])[: data.shape[1]]
+    else:
+        if include_pol:
+            data2 = np.zeros((data.shape[0], 4, data.shape[1]), dtype=data.dtype)
+            data2[:, 0] = data
+            data = data2
+            polmap = np.array(["I", "Q", "U", "V"])
+        else:
+            data = data[:, np.newaxis, :]
+            polmap = np.array(["I"])
+
+    freqmap = np.zeros(
+        len(freq), dtype=[("centre", np.float64), ("width", np.float64)]
+    )
+    freqmap["centre"][:] = freq
+    freqmap["width"][:] = fwidth if fwidth is not None else np.abs(np.diff(freq)[0])
+
+    with h5py.File(filename, "w") as f:
+        f.attrs["__memh5_distributed_file"] = True
+
+        dset = f.create_dataset("map", data=data)
+        dt = h5py.special_dtype(vlen=str)
+        dset.attrs["axis"] = np.array(["freq", "pol", "pixel"]).astype(dt)
+        dset.attrs["__memh5_distributed_dset"] = True
+
+        dset = f.create_dataset("index_map/freq", data=freqmap)
+        dset.attrs["__memh5_distributed_dset"] = False
+        dset = f.create_dataset("index_map/pol", data=polmap.astype(dt))
+        dset.attrs["__memh5_distributed_dset"] = False
+        dset = f.create_dataset("index_map/pixel", data=np.arange(data.shape[2]))
+        dset.attrs["__memh5_distributed_dset"] = False
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,116 @@
+"""Native SHT tests: synthesis vs scipy spherical harmonics, adjointness,
+analysis roundtrip, anafast consistency."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cora_tpu.healpix import sht, pixel
+
+
+@pytest.fixture(scope="module")
+def op16():
+    return sht.SHT(16, 20, l_chunk=8)
+
+
+def test_synthesis_vs_scipy(op16):
+    """Single-mode synthesis must match scipy's spherical harmonics."""
+    from scipy.special import sph_harm_y
+
+    nside, lmax = 16, 20
+    th, ph = pixel.pix2ang(nside, np.arange(pixel.nside2npix(nside)))
+    rng = np.random.RandomState(0)
+
+    for (l, m) in [(0, 0), (1, 0), (1, 1), (5, 3), (10, 7), (20, 20), (13, 0)]:
+        alm = np.zeros((lmax + 1, lmax + 1), dtype=np.complex128)
+        c = rng.randn() + 1j * rng.randn()
+        if m == 0:
+            c = c.real + 0j
+        alm[l, m] = c
+        mp = np.asarray(op16.synthesis(jnp.asarray(alm)))
+        Y = sph_harm_y(l, m, th, ph)
+        expect = (c * Y).real if m == 0 else 2 * np.real(c * Y)
+        assert np.abs(mp - expect).max() / np.abs(expect).max() < 1e-12
+
+
+def test_adjointness(op16):
+    """Analysis projection must be the exact adjoint of synthesis contraction."""
+    rng = np.random.RandomState(1)
+    lmax = 20
+    nring = 4 * 16 - 1
+    alm = rng.randn(lmax + 1, lmax + 1) + 1j * rng.randn(lmax + 1, lmax + 1)
+    G = rng.randn(nring, lmax + 1) + 1j * rng.randn(nring, lmax + 1)
+    lhs = np.vdot(np.asarray(op16._legendre_contract(jnp.asarray(alm))), G)
+    rhs = np.vdot(alm, np.asarray(op16._legendre_project(jnp.asarray(G))))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-13
+
+
+def _random_alm(rng, lmax):
+    L = lmax + 1
+    alm = rng.randn(L, L) + 1j * rng.randn(L, L)
+    li = np.arange(L)[:, None]
+    mi = np.arange(L)[None, :]
+    alm[mi > li] = 0.0
+    alm[:, 0] = alm[:, 0].real
+    return alm
+
+
+@pytest.mark.parametrize("nside,lmax,iters,tol", [(32, 31, 3, 5e-7), (32, 63, 5, 5e-7)])
+def test_roundtrip(nside, lmax, iters, tol):
+    """map2alm(alm2map(a)) recovers a for band-limited maps."""
+    rng = np.random.RandomState(3)
+    op = sht.SHT(nside, lmax)
+    alm = _random_alm(rng, lmax)
+    m = op.synthesis(jnp.asarray(alm))
+    alm2 = np.asarray(op.analysis(m, iters))
+    assert np.abs(alm2 - alm).max() / np.abs(alm).max() < tol
+
+
+def test_batched_synthesis(op16):
+    """Batch dims must vectorise identically to per-slice transforms."""
+    rng = np.random.RandomState(4)
+    lmax = 20
+    alms = np.stack([_random_alm(rng, lmax) for _ in range(3)])
+    maps = np.asarray(op16.synthesis(jnp.asarray(alms)))
+    for i in range(3):
+        single = np.asarray(op16.synthesis(jnp.asarray(alms[i])))
+        assert np.allclose(maps[i], single)
+
+
+def test_anafast_flat_spectrum():
+    """anafast of a synthesized map recovers the input pseudo-C_l."""
+    rng = np.random.RandomState(5)
+    nside, lmax = 32, 47
+    op = sht.SHT(nside, lmax)
+    alm = _random_alm(rng, lmax)
+    m = op.synthesis(jnp.asarray(alm))
+    cl = np.asarray(sht.anafast(np.asarray(m), lmax=lmax, iter=5))
+    # expected pseudo-C_l from the alm themselves
+    prod = np.abs(alm) ** 2
+    expect = (prod[:, 0] + 2 * prod[:, 1:].sum(axis=1)) / (
+        2 * np.arange(lmax + 1) + 1.0
+    )
+    assert np.abs(cl / expect - 1).max() < 1e-5
+
+
+def test_parseval(op16):
+    """Map variance equals sum of |alm|^2 over 4pi (Parseval)."""
+    rng = np.random.RandomState(6)
+    alm = _random_alm(rng, 20)
+    m = np.asarray(op16.synthesis(jnp.asarray(alm)))
+    npix = m.size
+    map_power = (m**2).sum() * 4 * np.pi / npix
+    alm_power = (np.abs(alm[:, 0]) ** 2).sum() + 2 * (np.abs(alm[:, 1:]) ** 2).sum()
+    # HEALPix quadrature is approximate; agreement at the 1e-4 level
+    assert abs(map_power / alm_power - 1) < 1e-3
+
+
+def test_smoothing_reduces_power():
+    rng = np.random.RandomState(7)
+    nside, lmax = 16, 31
+    alm = _random_alm(rng, lmax)
+    m = np.asarray(sht.alm2map(jnp.asarray(alm), nside))
+    sm = np.asarray(sht.smoothing(m, fwhm=0.3, iter=3))
+    assert sm.var() < m.var()
+    # the monopole is preserved up to quadrature error
+    assert abs(sm.mean() - m.mean()) < 5e-3 * m.std()

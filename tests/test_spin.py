@@ -1,0 +1,84 @@
+"""Spin-2 SHT tests: closed-form ₂Y_2m validation and E/B roundtrip."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cora_tpu.healpix import spin, pixel
+
+
+def _Y2(m, th, ph):
+    """Closed-form spin-2 harmonics ₂Y_2m (CMB convention)."""
+    c, s = np.cos(th), np.sin(th)
+    if m == 0:
+        return np.sqrt(15 / (32 * np.pi)) * s**2 + 0j
+    if m == 1:
+        return np.sqrt(5 / (16 * np.pi)) * s * (1 + c) * np.exp(1j * ph)
+    if m == 2:
+        return np.sqrt(5 / (64 * np.pi)) * (1 + c) ** 2 * np.exp(2j * ph)
+    if m == -1:
+        return np.sqrt(5 / (16 * np.pi)) * s * (1 - c) * np.exp(-1j * ph)
+    if m == -2:
+        return np.sqrt(5 / (64 * np.pi)) * (1 - c) ** 2 * np.exp(-2j * ph)
+
+
+@pytest.fixture(scope="module")
+def op16():
+    return spin.SpinSHT(16, 20, 2, l_chunk=8)
+
+
+@pytest.mark.parametrize("m", [0, 1, 2])
+def test_synthesis_vs_closed_form(op16, m):
+    nside, lmax = 16, 20
+    th, ph = pixel.pix2ang(nside, np.arange(pixel.nside2npix(nside)))
+    rng = np.random.RandomState(m)
+    L = lmax + 1
+
+    e = rng.randn() + 1j * rng.randn()
+    if m == 0:
+        e = e.real + 0j
+    E = np.zeros((L, L), np.complex128)
+    B = np.zeros((L, L), np.complex128)
+    E[2, m] = e
+    Q, U = op16.synthesis(jnp.asarray(E), jnp.asarray(B))
+    P = np.asarray(Q) + 1j * np.asarray(U)
+
+    expect = -e * _Y2(m, th, ph)
+    if m > 0:
+        expect = expect - ((-1) ** m * np.conj(e)) * _Y2(-m, th, ph)
+    assert np.abs(P - expect).max() / np.abs(expect).max() < 1e-12
+
+
+def test_eb_roundtrip(op16):
+    rng = np.random.RandomState(9)
+    L = 21
+    E = rng.randn(L, L) + 1j * rng.randn(L, L)
+    B = rng.randn(L, L) + 1j * rng.randn(L, L)
+    li = np.arange(L)[:, None]
+    mi = np.arange(L)[None, :]
+    for X in (E, B):
+        X[mi > li] = 0
+        X[:2] = 0
+        X[:, 0] = X[:, 0].real
+
+    Q, U = op16.synthesis(jnp.asarray(E), jnp.asarray(B))
+    E2, B2 = op16.analysis(Q, U, 5)
+    assert np.abs(np.asarray(E2) - E).max() / np.abs(E).max() < 1e-7
+    assert np.abs(np.asarray(B2) - B).max() / np.abs(B).max() < 1e-7
+
+
+def test_pure_e_has_no_b(op16):
+    """Analysis of a pure-E synthesized map must return negligible B."""
+    rng = np.random.RandomState(10)
+    L = 21
+    E = rng.randn(L, L) + 1j * rng.randn(L, L)
+    li = np.arange(L)[:, None]
+    mi = np.arange(L)[None, :]
+    E[mi > li] = 0
+    E[:2] = 0
+    E[:, 0] = E[:, 0].real
+    B = np.zeros((L, L), np.complex128)
+
+    Q, U = op16.synthesis(jnp.asarray(E), jnp.asarray(B))
+    E2, B2 = op16.analysis(Q, U, 5)
+    assert np.abs(np.asarray(B2)).max() < 1e-7 * np.abs(E).max()
