@@ -5,29 +5,30 @@ native dependency — healpy/libsharp's ``map2alm``/``alm2map`` (reference
 cora/util/hputil.py:195-531).  The design follows SURVEY.md §7:
 
 * **Legendre stage**: normalised associated Legendre functions
-  :math:`\\lambda_{\\ell m}(\\theta)` are generated by the standard stable
-  three-term recurrence in :math:`\\ell`, scanned in l-chunks; each chunk is
-  contracted against the a_lm with an einsum → MXU matmuls.  The recurrence
-  runs in float64 (λ_mm underflow is harmless up to lmax ≈ 1800; see the
-  module notes) while contractions run in the caller's dtype.
-* **Ring symmetry**: λ(π−θ) = (−1)^{l+m} λ(θ), so only the northern
-  half of the 4·nside−1 iso-latitude rings is computed; even/odd (l+m)
-  contractions give the southern half for free.
+  :math:`\\lambda_{\\ell m}(\\theta)` are either generated in-graph by the
+  stable three-term recurrence (float64, "scan" mode — exact, used for CPU
+  tests) or precomputed host-side into float32 l-chunk tensors ("cached"
+  mode — the TPU production path: the transform becomes a sequence of MXU
+  einsums against resident Λ "weights", with no f64 on device).
+* **Ring symmetry**: λ(π−θ) = (−1)^{l+m} λ(θ): only the 2·nside northern
+  rings are computed; even/odd (l+m) contractions give the south for free.
 * **Ring FFT stage**: each ring is a uniform azimuthal grid with a phase
-  offset; m-modes fold into the ring spectrum by aliasing.  Every ring is
-  evaluated with a Bluestein (chirp-z) transform at one static padded FFT
-  size — static shapes, fully batched, no per-ring Python loops.
+  offset; m-modes alias into the ring spectrum.  All rings are evaluated
+  with one batched Bluestein (chirp-z) transform at a single static padded
+  FFT size — static shapes, no per-ring Python loops.
 * **Analysis** uses pixel-area quadrature plus Jacobi refinement
   iterations (default 3), matching healpy's ``map2alm(iter=...)`` accuracy
   contract without shipped ring-weight tables.
 
-The a_lm layout is the dense 2D ``alm[..., l, m]`` (m ≥ 0) used throughout
-the reference (hputil.unpack_alm).
+All large tables are passed to the jitted programs as *arguments* (device
+buffers), never as closure constants — keeping HLO small and compile times
+flat.  The a_lm layout is the dense 2D ``alm[..., l, m]`` (m ≥ 0) used
+throughout the reference (hputil.unpack_alm).
 """
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 import jax
@@ -44,36 +45,323 @@ def _next_fft_size(n):
     return s
 
 
+# ===========================================================================
+# Jitted worker functions.  `op` is a static argument (hashable SHT config);
+# `t` is the pytree of device tables.
+# ===========================================================================
+
+
+def _legendre_contract_cached(op, t, alm):
+    """G[..., ring, m] = Σ_l alm[..., l, m] λ_lm(θ_ring), cached-Λ path."""
+    L = op.lmax + 1
+    nh = op.nhalf
+    lc = op.l_chunk
+
+    lidx = jnp.arange(L)[:, None]
+    midx = jnp.arange(L)[None, :]
+    evenmask = ((lidx + midx) % 2 == 0).astype(alm.real.dtype)
+    alm_even = alm * evenmask
+    alm_odd = alm * (1.0 - evenmask)
+
+    batch_shape = alm.shape[:-2]
+    Ge = jnp.zeros(batch_shape + (nh, L), dtype=alm.dtype)
+    Go = jnp.zeros_like(Ge)
+
+    for c, lam_c in enumerate(t["lam"]):
+        l_lo = c * lc
+        l_hi = min(L, l_lo + lc)
+        mw = min(lam_c.shape[-1], L)
+        lam = lam_c[: l_hi - l_lo, :, :mw].astype(alm.real.dtype)
+        ae = alm_even[..., l_lo:l_hi, :mw]
+        ao = alm_odd[..., l_lo:l_hi, :mw]
+        Ge = Ge.at[..., :mw].add(jnp.einsum("lrm,...lm->...rm", lam, ae))
+        Go = Go.at[..., :mw].add(jnp.einsum("lrm,...lm->...rm", lam, ao))
+
+    Gn = Ge + Go
+    Gs = Ge - Go
+    north = jnp.arange(op.nring) < nh
+    return jnp.where(
+        north[:, None], Gn[..., t["north_idx"], :], Gs[..., t["mirror"], :]
+    )
+
+
+def _legendre_project_cached(op, t, G):
+    """Adjoint: alm[..., l, m] = Σ_r λ_lm(θ_r) G[..., r, m], cached-Λ path."""
+    L = op.lmax + 1
+    nh = op.nhalf
+    lc = op.l_chunk
+
+    Gn = G[..., :nh, :]
+    Gs = G[..., nh:, :]
+    south_idx = t["south_idx"]
+
+    Ge = Gn.at[..., south_idx, :].add(Gs)
+    Go = Gn.at[..., south_idx, :].add(-Gs)
+
+    lidx = jnp.arange(L)[:, None]
+    midx = jnp.arange(L)[None, :]
+    evenmask = ((lidx + midx) % 2 == 0).astype(G.real.dtype)
+
+    parts = []
+    for c, lam_c in enumerate(t["lam"]):
+        l_lo = c * lc
+        l_hi = min(L, l_lo + lc)
+        mw = min(lam_c.shape[-1], L)
+        lam = lam_c[: l_hi - l_lo, :, :mw].astype(G.real.dtype)
+        ae = jnp.einsum("lrm,...rm->...lm", lam, Ge[..., :mw])
+        ao = jnp.einsum("lrm,...rm->...lm", lam, Go[..., :mw])
+        em = evenmask[l_lo:l_hi, :mw]
+        out = ae * em + ao * (1.0 - em)
+        pad = L - mw
+        if pad:
+            out = jnp.pad(out, [(0, 0)] * (out.ndim - 2) + [(0, 0), (0, pad)])
+        parts.append(out)
+    return jnp.concatenate(parts, axis=-2)[..., :L, :]
+
+
+def _legendre_contract_scan(op, t, alm):
+    """In-graph recurrence variant (f64; exact; CPU tests / no Λ memory)."""
+    L = op.lmax + 1
+    nh = op.nhalf
+    cdtype = alm.dtype
+    z = t["z_half"]
+
+    lc = op.l_chunk
+    nchunk = -(-L // lc)
+    Lp = nchunk * lc
+    if Lp != L:
+        pad = [(0, 0)] * (alm.ndim - 2) + [(0, Lp - L), (0, 0)]
+        alm = jnp.pad(alm, pad)
+
+    lidx = jnp.arange(Lp)[:, None]
+    midx = jnp.arange(L)[None, :]
+    even = ((lidx + midx) % 2 == 0).astype(alm.real.dtype)
+    alm_even = alm * even
+    alm_odd = alm * (1.0 - even)
+
+    def chunkify(x):
+        x = jnp.moveaxis(x, -2, 0)
+        return x.reshape((nchunk, lc) + x.shape[1:])
+
+    alm_e_c = chunkify(alm_even)
+    alm_o_c = chunkify(alm_odd)
+
+    rec_a = jnp.pad(t["rec_a"], ((0, Lp - L), (0, 0)))
+    rec_b = jnp.pad(t["rec_b"], ((0, Lp - L), (0, 0)))
+    a_c = rec_a.reshape(nchunk, lc, L)
+    b_c = rec_b.reshape(nchunk, lc, L)
+
+    lam_mm = t["lam_mm"]
+    m_arr = jnp.arange(L)
+
+    batch_shape = alm.shape[:-2]
+    Ge0 = jnp.zeros(batch_shape + (nh, L), dtype=cdtype)
+    Go0 = jnp.zeros_like(Ge0)
+    lam0 = jnp.zeros((nh, L), dtype=lam_mm.dtype)
+
+    def chunk_step(carry, xs):
+        Ge, Go, lam_p, lam_pp, l0 = carry
+        alm_e, alm_o, aa, bb = xs
+
+        def l_step(c, ys):
+            lam_p, lam_pp, l = c
+            a_l, b_l = ys
+            lam = jnp.where(
+                l == m_arr[None, :],
+                lam_mm,
+                a_l[None, :] * z[:, None] * lam_p + b_l[None, :] * lam_pp,
+            )
+            return (lam, lam_p, l + 1), lam
+
+        (lam_p, lam_pp, lN), lam_chunk = jax.lax.scan(
+            l_step, (lam_p, lam_pp, l0), (aa, bb)
+        )
+        lam_c = lam_chunk.astype(alm_e.real.dtype)
+        Ge = Ge + jnp.einsum("lrm,l...m->...rm", lam_c, alm_e)
+        Go = Go + jnp.einsum("lrm,l...m->...rm", lam_c, alm_o)
+        return (Ge, Go, lam_p, lam_pp, lN), None
+
+    (Ge, Go, _, _, _), _ = jax.lax.scan(
+        chunk_step,
+        (Ge0, Go0, lam0, lam0, jnp.asarray(0)),
+        (alm_e_c, alm_o_c, a_c, b_c),
+    )
+
+    Gn = Ge + Go
+    Gs = Ge - Go
+    north = jnp.arange(op.nring) < nh
+    return jnp.where(
+        north[:, None], Gn[..., t["north_idx"], :], Gs[..., t["mirror"], :]
+    )
+
+
+def _legendre_project_scan(op, t, G):
+    """Adjoint of the scan-mode contraction."""
+    L = op.lmax + 1
+    nh = op.nhalf
+    cdtype = G.dtype
+    z = t["z_half"]
+
+    Gn = G[..., :nh, :]
+    Gs = G[..., nh:, :]
+    Ge = Gn.at[..., t["south_idx"], :].add(Gs)
+    Go = Gn.at[..., t["south_idx"], :].add(-Gs)
+
+    lc = op.l_chunk
+    nchunk = -(-L // lc)
+    Lp = nchunk * lc
+
+    rec_a = jnp.pad(t["rec_a"], ((0, Lp - L), (0, 0)))
+    rec_b = jnp.pad(t["rec_b"], ((0, Lp - L), (0, 0)))
+    a_c = rec_a.reshape(nchunk, lc, L)
+    b_c = rec_b.reshape(nchunk, lc, L)
+
+    lam_mm = t["lam_mm"]
+    m_arr = jnp.arange(L)
+    lam0 = jnp.zeros((nh, L), dtype=lam_mm.dtype)
+
+    def chunk_step(carry, xs):
+        lam_p, lam_pp, l0 = carry
+        aa, bb = xs
+
+        def l_step(c, ys):
+            lam_p, lam_pp, l = c
+            a_l, b_l = ys
+            lam = jnp.where(
+                l == m_arr[None, :],
+                lam_mm,
+                a_l[None, :] * z[:, None] * lam_p + b_l[None, :] * lam_pp,
+            )
+            return (lam, lam_p, l + 1), lam
+
+        (lam_p, lam_pp, lN), lam_chunk = jax.lax.scan(
+            l_step, (lam_p, lam_pp, l0), (aa, bb)
+        )
+        lidx = jnp.arange(lc)[:, None, None]
+        par = (l0 + lidx + m_arr[None, None, :]) % 2 == 0  # [lc, 1, M]
+        lam_e = jnp.where(par, lam_chunk, 0.0).astype(Ge.real.dtype)
+        lam_o = jnp.where(par, 0.0, lam_chunk).astype(Ge.real.dtype)
+        alm_e = jnp.einsum("lrm,...rm->...lm", lam_e, Ge)
+        alm_o = jnp.einsum("lrm,...rm->...lm", lam_o, Go)
+        return (lam_p, lam_pp, lN), alm_e + alm_o
+
+    _, alm_chunks = jax.lax.scan(
+        chunk_step, (lam0, lam0, jnp.asarray(0)), (a_c, b_c)
+    )
+    alm = jnp.moveaxis(alm_chunks, 0, -3)
+    alm = alm.reshape(alm.shape[:-3] + (Lp, L))[..., :L, :]
+    return alm.astype(cdtype)
+
+
+def _rings_to_complex(op, t, G):
+    """S(pix) = Σ_{m>=0} G[ring(pix), m] e^{i m φ(pix)} via batched Bluestein."""
+    cdtype = G.dtype
+    nq_max = t["chirp_A"].shape[-1]
+
+    H = jnp.zeros(G.shape[:-2] + (op.nring, op.nfft), dtype=cdtype)
+    Gp = G * t["fold_phase"].astype(cdtype)
+    ridx = jnp.broadcast_to(jnp.arange(op.nring)[:, None], t["fold_idx"].shape)
+    H = H.at[..., ridx, t["fold_idx"]].add(Gp)
+
+    A = t["chirp_A"].astype(cdtype)
+    Bf = t["chirp_Bf"].astype(cdtype)
+
+    a = H[..., :nq_max] * A
+    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, op.nfft - nq_max)])
+    conv = jnp.fft.ifft(jnp.fft.fft(a, axis=-1) * Bf, axis=-1)
+    S = conv[..., :nq_max] * A
+
+    return S[..., t["r_of_pix"], t["j_of_pix"]]
+
+
+def _map_to_rings(op, t, fmap, cdtype):
+    """G[..., r, m] = Σ_j f_j e^{-imφ_j} (forward ring DFTs; real or complex f)."""
+    nq_max = t["chirp_A"].shape[-1]
+    fr = jnp.zeros(fmap.shape[:-1] + (op.nring, nq_max), dtype=cdtype)
+    fr = fr.at[..., t["r_of_pix"], t["j_of_pix"]].set(fmap.astype(cdtype))
+
+    A = t["chirp_A"].astype(cdtype)
+    Bf = t["chirp_Bf"].astype(cdtype)
+
+    a = jnp.conj(fr) * A
+    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, op.nfft - nq_max)])
+    conv = jnp.fft.ifft(jnp.fft.fft(a, axis=-1) * Bf, axis=-1)
+    H = jnp.conj(conv[..., :nq_max] * A)
+
+    G = H[..., jnp.arange(op.nring)[:, None], t["fold_idx"]]
+    return G * jnp.conj(t["fold_phase"]).astype(cdtype)
+
+
+def _synthesis(op, t, alm):
+    if "lam" in t:
+        G = _legendre_contract_cached(op, t, alm)
+    else:
+        G = _legendre_contract_scan(op, t, alm)
+    S = _rings_to_complex(op, t, G)
+    G0 = G[..., t["r_of_pix"], 0]
+    return 2.0 * S.real - G0.real
+
+
+def _analysis_once(op, t, fmap, cdtype):
+    G = _map_to_rings(op, t, fmap, cdtype)
+    G = G * (4.0 * np.pi / op.npix)
+    if "lam" in t:
+        return _legendre_project_cached(op, t, G)
+    return _legendre_project_scan(op, t, G)
+
+
+def _analysis(op, t, fmap, iter):
+    cdtype = jnp.complex128 if fmap.dtype == jnp.float64 else jnp.complex64
+    alm = _analysis_once(op, t, fmap, cdtype)
+    for _ in range(iter):
+        resid = fmap - _synthesis(op, t, alm)
+        alm = alm + _analysis_once(op, t, resid, cdtype)
+    return alm
+
+
+_synthesis_jit = jax.jit(_synthesis, static_argnums=0)
+_analysis_jit = jax.jit(_analysis, static_argnums=(0, 3))
+
+
+# ===========================================================================
+# Operator class: host-side geometry + device table management
+# ===========================================================================
+
+
 class SHT:
     """Spherical-harmonic transform operator for one (nside, lmax) pair.
 
-    Host-side precomputation builds the ring geometry, recurrence
-    coefficients and Bluestein chirp tables as static arrays; the
-    ``synthesis``/``analysis`` methods are pure jittable functions of the
-    a_lm / map arrays.
-
     Parameters
     ----------
-    nside : int
-        HEALPix resolution.
-    lmax : int
-        Maximum multipole.
+    nside, lmax : int
     l_chunk : int
-        Chunk length for the Legendre scan (matmul depth per step).
+        Chunk length for the Legendre stage (matmul depth per einsum).
+    legendre_mode : {"scan", "cached"}
+        "scan": in-graph f64 recurrence (exact; CPU/tests).
+        "cached": host-precomputed float32 Λ chunks resident on device —
+        the TPU production path (no f64 on device, flat compile time).
     """
 
-    def __init__(self, nside: int, lmax: int, l_chunk: int = 64):
+    def __init__(
+        self,
+        nside: int,
+        lmax: int,
+        l_chunk: int = 64,
+        legendre_mode: str = "scan",
+        cache_dtype=np.float32,
+    ):
         self.nside = int(nside)
         self.lmax = int(lmax)
         self.npix = pixel.nside2npix(nside)
         self.l_chunk = int(l_chunk)
+        self.legendre_mode = legendre_mode
+        self.cache_dtype = cache_dtype
 
         info = pixel.ring_info(nside)
         nring = info["theta"].size
         self.nring = nring
         self.nhalf = 2 * nside  # northern rings incl. equator
 
-        # --- ring geometry (static numpy) ---
         theta = info["theta"]
         self._nq = info["nphi"]
         self._phi0 = info["phi0"]
@@ -90,13 +378,15 @@ class SHT:
         with np.errstate(divide="ignore", invalid="ignore"):
             a = np.sqrt((4 * l**2 - 1.0) / (l**2 - m**2))
             b = -np.sqrt(
-                ((2 * l + 1.0) / (2 * l - 3.0)) * ((l - 1) ** 2 - m**2) / (l**2 - m**2)
+                ((2 * l + 1.0) / (2 * l - 3.0))
+                * ((l - 1) ** 2 - m**2)
+                / (l**2 - m**2)
             )
         valid = l > m
-        self._rec_a = jnp.asarray(np.where(valid, a, 0.0))
-        self._rec_b = jnp.asarray(np.where(valid, b, 0.0))
+        self._rec_a = np.where(valid, a, 0.0)
+        self._rec_b = np.where(valid, b, 0.0)
 
-        # --- λ_mm seed values [nhalf, L] (log-space cumulative product) ---
+        # --- λ_mm seeds [nhalf, L] via log-space cumulative product ---
         mm = np.arange(L)[None, :].astype(np.float64)
         ln_sth = np.log(self._sth_half)[:, None]
         ratio = 0.5 * np.concatenate(
@@ -107,23 +397,20 @@ class SHT:
         )
         sign = np.where(np.arange(L)[None, :] % 2 == 0, 1.0, -1.0)
         with np.errstate(under="ignore"):
-            self._lam_mm = jnp.asarray(sign * np.exp(ln_lam))
+            self._lam_mm = sign * np.exp(ln_lam)
 
-        self._z_half_j = jnp.asarray(self._z_half)
-
-        # --- Bluestein chirp tables (all rings, one padded FFT size) ---
+        # --- Bluestein chirp tables ---
         nq_max = int(self._nq.max())
         self.nfft = _next_fft_size(2 * nq_max)
         t = np.arange(nq_max)
         nq_f = self._nq.astype(np.float64)[:, None]
 
-        # A[r, k] = exp(+i π k² / n_r), masked beyond n_r
         karr = t[None, :]
         mask = karr < self._nq[:, None]
-        A = np.exp(1j * np.pi * karr**2 / nq_f) * mask
-        self._chirp_A = jnp.asarray(A.astype(np.complex128))
+        self._chirp_A = (np.exp(1j * np.pi * karr**2 / nq_f) * mask).astype(
+            np.complex128
+        )
 
-        # b-kernel spectrum: Bf[r, :] = fft(c_r), c_r[t mod Nfft] = e^{-iπt²/n}
         c = np.zeros((nring, self.nfft), dtype=np.complex128)
         for r in range(nring):
             n = int(self._nq[r])
@@ -131,291 +418,188 @@ class SHT:
             w = np.exp(-1j * np.pi * tt**2 / n)
             c[r, :n] = w
             c[r, self.nfft - n + 1 :] += w[1:][::-1]
-        self._chirp_Bf = jnp.asarray(np.fft.fft(c, axis=-1))
+        self._chirp_Bf = np.fft.fft(c, axis=-1)
 
-        # --- m-folding tables: phase e^{i m φ0_r} and fold index m mod n_r ---
+        # --- m-folding and map-assembly index tables ---
         marr = np.arange(L)[None, :]
-        self._fold_phase = jnp.asarray(np.exp(1j * marr * self._phi0[:, None]))
-        self._fold_idx = jnp.asarray((marr % self._nq[:, None]).astype(np.int32))
+        self._fold_phase = np.exp(1j * marr * self._phi0[:, None])
+        self._fold_idx = (marr % self._nq[:, None]).astype(np.int32)
 
-        # --- map assembly: ring and in-ring index of each pixel ---
         r_of_pix = np.repeat(np.arange(nring), self._nq)
-        j_of_pix = np.arange(self.npix) - self._start[r_of_pix]
-        self._r_of_pix = jnp.asarray(r_of_pix.astype(np.int32))
-        self._j_of_pix = jnp.asarray(j_of_pix.astype(np.int32))
+        self._r_of_pix = r_of_pix.astype(np.int32)
+        self._j_of_pix = (np.arange(self.npix) - self._start[r_of_pix]).astype(
+            np.int32
+        )
 
-        # mirror ring index (for assembling G over all rings from halves)
-        self._mirror = np.minimum(np.arange(nring), nring - 1 - np.arange(nring))
+        self._mirror = np.minimum(
+            np.arange(nring), nring - 1 - np.arange(nring)
+        ).astype(np.int32)
+        self._north_idx = np.minimum(np.arange(nring), nh - 1).astype(np.int32)
+        self._south_idx = self._mirror[nh:]
+
+        self._lam_host = None
+        if legendre_mode == "cached":
+            self._lam_host = self._build_lambda_cache()
+
+        # device table cache per precision
+        self._dev_tables = {}
+
+    # static hashability: jit caches per instance
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
 
     # ------------------------------------------------------------------
-    # Legendre stage
-    # ------------------------------------------------------------------
 
-    def _legendre_contract(self, alm):
-        """G[..., ring, m] = Σ_l alm[..., l, m] λ_lm(θ_ring) for all rings.
+    def _build_lambda_cache(self):
+        """Host float64 recurrence → float32 ragged Λ l-chunks.
 
-        Uses north-half recurrence + parity to produce the full-ring G.
-        alm: [..., L, M] complex.  Returns G: [..., nring, M] complex.
+        Chunk c holds λ for l ∈ [c·lc, (c+1)·lc) and m ≤ chunk end (padded
+        to 128 lanes) over the northern rings: [lc, nh, M_c].  Total ≈
+        nh·lmax²/2·4 bytes (~5 GB at nside=512) — the transform's "weights".
         """
         L = self.lmax + 1
         nh = self.nhalf
-        cdtype = alm.dtype
-        z = self._z_half_j  # [nh] f64
-
         lc = self.l_chunk
         nchunk = -(-L // lc)
-        Lp = nchunk * lc
-        if Lp != L:
-            pad = [(0, 0)] * (alm.ndim - 2) + [(0, Lp - L), (0, 0)]
-            alm = jnp.pad(alm, pad)
 
-        # split by parity of (l + m)
-        lidx = jnp.arange(Lp)[:, None]
-        midx = jnp.arange(L)[None, :]
-        even = ((lidx + midx) % 2 == 0).astype(alm.real.dtype)
-        alm_even = alm * even
-        alm_odd = alm * (1.0 - even)
-
-        # reshape for scan over chunks: [nchunk, lc, ..., M]
-        def chunkify(x):
-            x = jnp.moveaxis(x, -2, 0)  # [Lp, ..., M]
-            return x.reshape((nchunk, lc) + x.shape[1:])
-
-        alm_e_c = chunkify(alm_even)
-        alm_o_c = chunkify(alm_odd)
-
-        rec_a = jnp.pad(self._rec_a, ((0, Lp - L), (0, 0)))
-        rec_b = jnp.pad(self._rec_b, ((0, Lp - L), (0, 0)))
-        a_c = rec_a.reshape(nchunk, lc, L)
-        b_c = rec_b.reshape(nchunk, lc, L)
-
-        lam_mm = self._lam_mm  # [nh, L] f64
-        m_arr = jnp.arange(L)
-
-        batch_shape = alm.shape[:-2]
-        Ge0 = jnp.zeros(batch_shape + (nh, L), dtype=cdtype)
-        Go0 = jnp.zeros_like(Ge0)
-        lam0 = jnp.zeros((nh, L), dtype=jnp.float64)
-
-        def chunk_step(carry, xs):
-            Ge, Go, lam_p, lam_pp, l0 = carry
-            alm_e, alm_o, aa, bb = xs
-
-            def l_step(c, ys):
-                lam_p, lam_pp, l = c
-                a_l, b_l = ys
-                lam = jnp.where(
-                    l == m_arr[None, :],
-                    lam_mm,
-                    a_l[None, :] * z[:, None] * lam_p + b_l[None, :] * lam_pp,
-                )
-                return (lam, lam_p, l + 1), lam
-
-            (lam_p, lam_pp, lN), lam_chunk = jax.lax.scan(
-                l_step, (lam_p, lam_pp, l0), (aa, bb)
-            )
-            # lam_chunk: [lc, nh, L(m)] — contract with alm chunks
-            lam_c = lam_chunk.astype(alm_e.real.dtype)
-            # einsum over l-chunk: [..., lc, M] x [lc, nh, M] -> [..., nh, M]
-            Ge = Ge + jnp.einsum("lrm,l...m->...rm", lam_c, alm_e)
-            Go = Go + jnp.einsum("lrm,l...m->...rm", lam_c, alm_o)
-            return (Ge, Go, lam_p, lam_pp, lN), None
-
-        (Ge, Go, _, _, _), _ = jax.lax.scan(
-            chunk_step,
-            (Ge0, Go0, lam0, lam0, jnp.asarray(0)),
-            (alm_e_c, alm_o_c, a_c, b_c),
-        )
-
-        # assemble all rings: north r<nh: Ge+Go at r; south: (Ge-Go) at mirror
-        Gn = Ge + Go
-        Gs = Ge - Go
-        mirror = jnp.asarray(self._mirror)
-        north = jnp.arange(self.nring) < nh
-        G = jnp.where(
-            north[:, None],
-            Gn[..., jnp.minimum(jnp.arange(self.nring), nh - 1), :],
-            Gs[..., mirror, :],
-        )
-        return G
-
-    def _legendre_project(self, G):
-        """Adjoint of _legendre_contract: alm[..., l, m] = Σ_r λ_lm(θ_r) G[..., r, m].
-
-        G must already include quadrature weights.
-        """
-        L = self.lmax + 1
-        nh = self.nhalf
-        cdtype = G.dtype
-        z = self._z_half_j
-
-        # fold rings into (even, odd) half-ring sums
-        nring = self.nring
-        mirror = jnp.asarray(self._mirror)
-        north = (jnp.arange(nring) < nh)[:, None]
-
-        # Ge[r<nh] = G_north[r] + G_south[mirror], Go = G_north - G_south
-        Gn_part = jnp.where(north, G[..., :, :], 0.0)
-        # scatter south rings onto their mirror index
-        south_idx = mirror[nh:]
-        Gs_part = G[..., nh:, :]
-
-        Ge = Gn_part[..., :nh, :]
-        Ge = Ge.at[..., south_idx, :].add(Gs_part)
-        Go = Gn_part[..., :nh, :]
-        Go = Go.at[..., south_idx, :].add(-Gs_part)
-
-        lc = self.l_chunk
-        nchunk = -(-L // lc)
-        Lp = nchunk * lc
-
-        rec_a = jnp.pad(self._rec_a, ((0, Lp - L), (0, 0)))
-        rec_b = jnp.pad(self._rec_b, ((0, Lp - L), (0, 0)))
-        a_c = rec_a.reshape(nchunk, lc, L)
-        b_c = rec_b.reshape(nchunk, lc, L)
-
+        z = self._z_half
         lam_mm = self._lam_mm
-        m_arr = jnp.arange(L)
-        lam0 = jnp.zeros((nh, L), dtype=jnp.float64)
+        rec_a = self._rec_a
+        rec_b = self._rec_b
 
-        def chunk_step(carry, xs):
-            lam_p, lam_pp, l0 = carry
-            aa, bb = xs
+        lam_p = np.zeros((nh, L))
+        lam_pp = np.zeros((nh, L))
+        m_arr = np.arange(L)
 
-            def l_step(c, ys):
-                lam_p, lam_pp, l = c
-                a_l, b_l = ys
-                lam = jnp.where(
-                    l == m_arr[None, :],
-                    lam_mm,
-                    a_l[None, :] * z[:, None] * lam_p + b_l[None, :] * lam_pp,
-                )
-                return (lam, lam_p, l + 1), lam
+        chunks = []
+        for c in range(nchunk):
+            l_lo = c * lc
+            mwidth = min(L, ((min(L, l_lo + lc) + 127) // 128) * 128)
+            buf = np.empty((lc, nh, mwidth), dtype=self.cache_dtype)
+            for i in range(lc):
+                ll = l_lo + i
+                if ll < L:
+                    lam = np.where(
+                        ll == m_arr[None, :],
+                        lam_mm,
+                        rec_a[ll][None, :] * z[:, None] * lam_p
+                        + rec_b[ll][None, :] * lam_pp,
+                    )
+                else:
+                    lam = np.zeros_like(lam_p)
+                lam_pp = lam_p
+                lam_p = lam
+                buf[i] = lam[:, :mwidth]
+            chunks.append(buf)
+        return chunks
 
-            (lam_p, lam_pp, lN), lam_chunk = jax.lax.scan(
-                l_step, (lam_p, lam_pp, l0), (aa, bb)
+    def tables(self, double: bool = False):
+        """Device table pytree at the requested precision (cached)."""
+        key = bool(double)
+        if key in self._dev_tables:
+            return self._dev_tables[key]
+
+        cdt = np.complex128 if double else np.complex64
+        fdt = np.float64 if double else np.float32
+
+        # Build eagerly even if called during a trace — cached device
+        # buffers must be concrete arrays, not trace-local constants.
+        with jax.ensure_compile_time_eval():
+            t = self._make_tables(cdt, fdt)
+
+        self._dev_tables[key] = t
+        return t
+
+    def _make_tables(self, cdt, fdt):
+        t = dict(
+            chirp_A=jnp.asarray(self._chirp_A.astype(cdt)),
+            chirp_Bf=jnp.asarray(self._chirp_Bf.astype(cdt)),
+            fold_phase=jnp.asarray(self._fold_phase.astype(cdt)),
+            fold_idx=jnp.asarray(self._fold_idx),
+            r_of_pix=jnp.asarray(self._r_of_pix),
+            j_of_pix=jnp.asarray(self._j_of_pix),
+            mirror=jnp.asarray(self._mirror),
+            north_idx=jnp.asarray(self._north_idx),
+            south_idx=jnp.asarray(self._south_idx),
+        )
+        if self._lam_host is not None:
+            t["lam"] = tuple(
+                jnp.asarray(c_.astype(self.cache_dtype)) for c_ in self._lam_host
             )
-            lam_c = lam_chunk.astype(jnp.float64)
-            lidx = jnp.arange(lc)[:, None, None]
-            par = (l0 + lidx + m_arr[None, None, :]) % 2 == 0  # [lc, 1, M]
-            lam_e = jnp.where(par, lam_c, 0.0).astype(Ge.real.dtype)
-            lam_o = jnp.where(par, 0.0, lam_c).astype(Ge.real.dtype)
-            alm_e = jnp.einsum("lrm,...rm->...lm", lam_e, Ge)
-            alm_o = jnp.einsum("lrm,...rm->...lm", lam_o, Go)
-            return (lam_p, lam_pp, lN), alm_e + alm_o
+        else:
+            t["rec_a"] = jnp.asarray(self._rec_a.astype(fdt))
+            t["rec_b"] = jnp.asarray(self._rec_b.astype(fdt))
+            t["lam_mm"] = jnp.asarray(self._lam_mm.astype(fdt))
+            t["z_half"] = jnp.asarray(self._z_half.astype(fdt))
+        return t
 
-        _, alm_chunks = jax.lax.scan(
-            chunk_step, (lam0, lam0, jnp.asarray(0)), (a_c, b_c)
+    @staticmethod
+    def _double_for(dtype):
+        return dtype in (jnp.complex128, jnp.float64) or np.dtype(dtype) in (
+            np.dtype(np.complex128),
+            np.dtype(np.float64),
         )
-        # alm_chunks: [nchunk, ..., lc, M] -> [..., Lp, M]
-        alm = jnp.moveaxis(alm_chunks, 0, -3)
-        alm = alm.reshape(alm.shape[:-3] + (Lp, L))[..., :L, :]
-        return alm.astype(cdtype)
-
-    # ------------------------------------------------------------------
-    # Ring FFT stage (Bluestein)
-    # ------------------------------------------------------------------
-
-    def _rings_to_complex(self, G):
-        """S at each pixel: S(pix) = Σ_{m>=0} G[ring(pix), m] e^{i m φ(pix)}.
-
-        Core ring-synthesis primitive (Bluestein over all rings at one
-        static FFT size); shared by the real, complex and spin transforms.
-        """
-        cdtype = G.dtype
-        # fold m into ring bins with the ring phase
-        H = jnp.zeros(G.shape[:-2] + (self.nring, self.nfft), dtype=cdtype)
-        Gp = G * self._fold_phase.astype(cdtype)
-        ridx = jnp.broadcast_to(
-            jnp.arange(self.nring)[:, None], self._fold_idx.shape
-        )
-        H = H.at[..., ridx, self._fold_idx].add(Gp)
-
-        # Bluestein chirp-z: S_j = A_j * [(H·A) ⊛ b](j), e^{+2πijk/n} sign
-        A = self._chirp_A.astype(cdtype)
-        Bf = self._chirp_Bf.astype(cdtype)
-
-        a = H[..., : A.shape[-1]] * A
-        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, self.nfft - A.shape[-1])])
-        conv = jnp.fft.ifft(jnp.fft.fft(a, axis=-1) * Bf, axis=-1)
-        S = conv[..., : A.shape[-1]] * A
-
-        return S[..., self._r_of_pix, self._j_of_pix]
-
-    def _rings_to_map(self, G):
-        """Real-field assembly: f = 2 Re S - Re G_0 (m=0 counted once)."""
-        Spix = self._rings_to_complex(G)
-        G0pix = G[..., self._r_of_pix, 0]
-        return 2.0 * Spix.real - G0pix.real
-
-    def _map_to_rings(self, fmap, dtype=jnp.complex128):
-        """Per-ring forward DFT: G[..., r, m] = Σ_j f_j e^{-imφ_j}.
-
-        Accepts real or complex pixel values (shared by scalar and spin
-        analysis paths).
-        """
-        # place pixels into [ring, j] grid
-        nq_max = self._chirp_A.shape[-1]
-        fr = jnp.zeros(fmap.shape[:-1] + (self.nring, nq_max), dtype=dtype)
-        fr = fr.at[..., self._r_of_pix, self._j_of_pix].set(fmap.astype(dtype))
-
-        A = self._chirp_A.astype(dtype)
-        Bf = self._chirp_Bf.astype(dtype)
-
-        # forward DFT: H_k = Σ_j f_j e^{-2πijk/n} = conj(Bluestein(conj(f)))
-        a = jnp.conj(fr) * A
-        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, self.nfft - nq_max)])
-        conv = jnp.fft.ifft(jnp.fft.fft(a, axis=-1) * Bf, axis=-1)
-        H = jnp.conj(conv[..., :nq_max] * A)
-
-        G = H[..., jnp.arange(self.nring)[:, None], self._fold_idx]
-        G = G * jnp.conj(self._fold_phase).astype(dtype)
-        return G
 
     # ------------------------------------------------------------------
     # Public transforms
     # ------------------------------------------------------------------
 
-    @partial(jax.jit, static_argnums=0)
     def synthesis(self, alm):
         """alm2map: dense alm[..., lmax+1, lmax+1] → map[..., 12 nside²]."""
-        G = self._legendre_contract(alm)
-        return self._rings_to_map(G)
+        alm = jnp.asarray(alm)
+        t = self.tables(self._double_for(alm.dtype))
+        return _synthesis_jit(self, t, alm)
 
-    def _analysis_once(self, fmap, dtype):
-        G = self._map_to_rings(fmap, dtype=dtype)
-        w = (4.0 * np.pi / self.npix)
-        return self._legendre_project(G * w)
-
-    @partial(jax.jit, static_argnums=(0, 2))
     def analysis(self, fmap, iter: int = 3):
-        """map2alm with pixel-area quadrature + Jacobi refinement iterations.
+        """map2alm with pixel-area quadrature + Jacobi refinement."""
+        fmap = jnp.asarray(fmap)
+        t = self.tables(self._double_for(fmap.dtype))
+        return _analysis_jit(self, t, fmap, iter)
 
-        Matches healpy's ``map2alm(..., use_weights=True, iter=2)`` accuracy
-        contract (reference hputil.py:46-47) for band-limited maps.
-        """
-        cdtype = jnp.complex128 if fmap.dtype == jnp.float64 else jnp.complex64
-        alm = self._analysis_once(fmap, cdtype)
-        for _ in range(iter):
-            resid = fmap - self.synthesis(alm)
-            alm = alm + self._analysis_once(resid, cdtype)
-        return alm
+    # --- internal traced hooks (used by the spin module and tests) ---
+
+    def _legendre_contract(self, alm):
+        t = self.tables(self._double_for(alm.dtype))
+        if "lam" in t:
+            return _legendre_contract_cached(self, t, alm)
+        return _legendre_contract_scan(self, t, alm)
+
+    def _legendre_project(self, G):
+        t = self.tables(self._double_for(G.dtype))
+        if "lam" in t:
+            return _legendre_project_cached(self, t, G)
+        return _legendre_project_scan(self, t, G)
+
+    def _rings_to_complex(self, G):
+        t = self.tables(self._double_for(G.dtype))
+        return _rings_to_complex(self, t, G)
+
+    def _map_to_rings(self, fmap, dtype=jnp.complex128):
+        t = self.tables(self._double_for(dtype))
+        return _map_to_rings(self, t, fmap, dtype)
 
 
 @lru_cache(maxsize=8)
-def get_sht(nside: int, lmax: int, l_chunk: int = 64) -> SHT:
-    """Cached SHT operator for (nside, lmax)."""
-    return SHT(nside, lmax, l_chunk=l_chunk)
+def get_sht(nside: int, lmax: int, l_chunk: int = 64, legendre_mode=None) -> SHT:
+    """Cached SHT operator.  Default mode: "cached" on TPU, "scan" on CPU."""
+    if legendre_mode is None:
+        legendre_mode = "cached" if jax.default_backend() != "cpu" else "scan"
+    return SHT(nside, lmax, l_chunk=l_chunk, legendre_mode=legendre_mode)
 
 
 def alm2map(alm, nside: int):
     """Synthesis of a dense alm[..., l, m] array onto a HEALPix map."""
+    alm = jnp.asarray(alm)
     lmax = alm.shape[-2] - 1
     return get_sht(nside, lmax).synthesis(alm)
 
 
 def map2alm(fmap, lmax: int | None = None, iter: int = 3):
     """Analysis of a HEALPix map into dense alm[..., l, m]."""
+    fmap = jnp.asarray(fmap)
     nside = pixel.npix2nside(fmap.shape[-1])
     if lmax is None:
         lmax = 3 * nside - 1
@@ -424,7 +608,7 @@ def map2alm(fmap, lmax: int | None = None, iter: int = 3):
 
 def anafast(map1, map2=None, lmax: int | None = None, iter: int = 3):
     """Angular power spectrum C_l of one map or cross-spectrum of two."""
-    nside = pixel.npix2nside(map1.shape[-1])
+    nside = pixel.npix2nside(np.asarray(map1).shape[-1])
     if lmax is None:
         lmax = 3 * nside - 1
     alm1 = map2alm(map1, lmax, iter)
@@ -438,14 +622,16 @@ def smoothalm(alm, fwhm: float):
     """Gaussian beam smoothing of alm (fwhm in radians)."""
     lmax = alm.shape[-2] - 1
     l = jnp.arange(lmax + 1)
-    sigma = fwhm / np.sqrt(8.0 * np.log(2.0))
-    bl = jnp.exp(-0.5 * l * (l + 1) * sigma**2)
+    sigma_b = fwhm / np.sqrt(8.0 * np.log(2.0))
+    bl = jnp.exp(-0.5 * l * (l + 1) * sigma_b**2)
     return alm * bl[:, None]
 
 
-def smoothing(fmap, fwhm: float, iter: int = 3):
+def smoothing(fmap, fwhm: float = None, iter: int = 3, sigma: float = None):
     """Gaussian beam smoothing of a map (healpy.smoothing equivalent)."""
-    nside = pixel.npix2nside(fmap.shape[-1])
+    if fwhm is None:
+        fwhm = sigma * np.sqrt(8.0 * np.log(2.0))
+    nside = pixel.npix2nside(np.asarray(fmap).shape[-1])
     lmax = 3 * nside - 1
-    alm = map2alm(fmap, lmax, iter)
+    alm = map2alm(jnp.asarray(fmap), lmax, iter)
     return alm2map(smoothalm(alm, fwhm), nside)
