@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from . import pixel
+from ..ops import fftmm
 
 
 def _next_fft_size(n):
@@ -253,6 +254,21 @@ def _legendre_project_scan(op, t, G):
     return alm.astype(cdtype)
 
 
+def _fft_last(op, t, x, inverse=False):
+    """Length-nfft (I)FFT over the last axis: XLA FFT or four-step matmul
+    FFT depending on op.fft_mode (the TPU backend rejects long batched
+    complex FFTs; the matmul form runs on the MXU)."""
+    if op.fft_mode == "mm":
+        n1, n2 = op._fft_n1n2
+        key = "ifft" if inverse else "fft"
+        tab = {"W1": t[key + "W1"], "T": t[key + "T"], "W2": t[key + "W2"]}
+        y = fftmm._apply(x, tab, n1, n2)
+        return y / op.nfft if inverse else y
+    if inverse:
+        return jnp.fft.ifft(x, axis=-1)
+    return jnp.fft.fft(x, axis=-1)
+
+
 def _rings_to_complex(op, t, G):
     """S(pix) = Σ_{m>=0} G[ring(pix), m] e^{i m φ(pix)} via batched Bluestein."""
     cdtype = G.dtype
@@ -268,7 +284,7 @@ def _rings_to_complex(op, t, G):
 
     a = H[..., :nq_max] * A
     a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, op.nfft - nq_max)])
-    conv = jnp.fft.ifft(jnp.fft.fft(a, axis=-1) * Bf, axis=-1)
+    conv = _fft_last(op, t, _fft_last(op, t, a) * Bf, inverse=True)
     S = conv[..., :nq_max] * A
 
     return S[..., t["r_of_pix"], t["j_of_pix"]]
@@ -285,7 +301,7 @@ def _map_to_rings(op, t, fmap, cdtype):
 
     a = jnp.conj(fr) * A
     a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, op.nfft - nq_max)])
-    conv = jnp.fft.ifft(jnp.fft.fft(a, axis=-1) * Bf, axis=-1)
+    conv = _fft_last(op, t, _fft_last(op, t, a) * Bf, inverse=True)
     H = jnp.conj(conv[..., :nq_max] * A)
 
     G = H[..., jnp.arange(op.nring)[:, None], t["fold_idx"]]
@@ -349,6 +365,7 @@ class SHT:
         l_chunk: int = 64,
         legendre_mode: str = "scan",
         cache_dtype=np.float32,
+        fft_mode: str = "xla",
     ):
         self.nside = int(nside)
         self.lmax = int(lmax)
@@ -356,6 +373,7 @@ class SHT:
         self.l_chunk = int(l_chunk)
         self.legendre_mode = legendre_mode
         self.cache_dtype = cache_dtype
+        self.fft_mode = fft_mode
 
         info = pixel.ring_info(nside)
         nring = info["theta"].size
@@ -419,6 +437,10 @@ class SHT:
             c[r, :n] = w
             c[r, self.nfft - n + 1 :] += w[1:][::-1]
         self._chirp_Bf = np.fft.fft(c, axis=-1)
+
+        # matmul-FFT twiddle tables (host)
+        self._fftmm_tabs = fftmm.dft_tables(self.nfft, dtype=np.complex128)
+        self._fft_n1n2 = self._fftmm_tabs["n1n2"]
 
         # --- m-folding and map-assembly index tables ---
         marr = np.arange(L)[None, :]
@@ -525,6 +547,12 @@ class SHT:
             north_idx=jnp.asarray(self._north_idx),
             south_idx=jnp.asarray(self._south_idx),
         )
+        if self.fft_mode == "mm":
+            for key, tab in [("fft", "fwd"), ("ifft", "inv")]:
+                for nm in ("W1", "T", "W2"):
+                    t[key + nm] = jnp.asarray(
+                        self._fftmm_tabs[tab][nm].astype(cdt)
+                    )
         if self._lam_host is not None:
             t["lam"] = tuple(
                 jnp.asarray(c_.astype(self.cache_dtype)) for c_ in self._lam_host
@@ -583,11 +611,22 @@ class SHT:
 
 
 @lru_cache(maxsize=8)
-def get_sht(nside: int, lmax: int, l_chunk: int = 64, legendre_mode=None) -> SHT:
-    """Cached SHT operator.  Default mode: "cached" on TPU, "scan" on CPU."""
+def get_sht(
+    nside: int, lmax: int, l_chunk: int = 64, legendre_mode=None, fft_mode=None
+) -> SHT:
+    """Cached SHT operator.
+
+    Defaults: "cached" Legendre + matmul FFT on accelerators, "scan" +
+    XLA FFT on CPU.
+    """
+    on_cpu = jax.default_backend() == "cpu"
     if legendre_mode is None:
-        legendre_mode = "cached" if jax.default_backend() != "cpu" else "scan"
-    return SHT(nside, lmax, l_chunk=l_chunk, legendre_mode=legendre_mode)
+        legendre_mode = "scan" if on_cpu else "cached"
+    if fft_mode is None:
+        fft_mode = "xla" if on_cpu else "mm"
+    return SHT(
+        nside, lmax, l_chunk=l_chunk, legendre_mode=legendre_mode, fft_mode=fft_mode
+    )
 
 
 def alm2map(alm, nside: int):

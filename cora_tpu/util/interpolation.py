@@ -87,27 +87,30 @@ def spline_eval_np(x_grid, y_grid, y2, x):
     x = np.atleast_1d(np.asarray(x, dtype=np.float64))
 
     n = x_grid.shape[0]
-    kl = np.clip(np.searchsorted(x_grid, x, side="right") - 1, 0, n - 2)
-    kh = kl + 1
+    with np.errstate(invalid="ignore", over="ignore"):
+        kl = np.clip(np.searchsorted(x_grid, x, side="right") - 1, 0, n - 2)
+        kh = kl + 1
 
-    xl, xh = x_grid[kl], x_grid[kh]
-    yl, yh = y_grid[kl], y_grid[kh]
-    h = xh - xl
-    a = (xh - x) / h
-    b = (x - xl) / h
-    c = (a**3 - a) * h**2 / 6.0
-    d = (b**3 - b) * h**2 / 6.0
-    out = a * yl + b * yh + c * y2[kl] + d * y2[kh]
+        xl, xh = x_grid[kl], x_grid[kh]
+        yl, yh = y_grid[kl], y_grid[kh]
+        h = xh - xl
+        a = (xh - x) / h
+        b = (x - xl) / h
+        c = (a**3 - a) * h**2 / 6.0
+        d = (b**3 - b) * h**2 / 6.0
+        out = a * yl + b * yh + c * y2[kl] + d * y2[kh]
 
-    h0 = x_grid[1] - x_grid[0]
-    s0 = (y_grid[1] - y_grid[0]) / h0
-    low = (s0 - h0 * y2[1] / 6.0) * (x - x_grid[0]) + y_grid[0]
+        h0 = x_grid[1] - x_grid[0]
+        s0 = (y_grid[1] - y_grid[0]) / h0
+        low = (s0 - h0 * y2[1] / 6.0) * (x - x_grid[0]) + y_grid[0]
 
-    h1 = x_grid[n - 1] - x_grid[n - 2]
-    s1 = (y_grid[n - 1] - y_grid[n - 2]) / h1
-    high = (s1 + h1 * y2[n - 2] / 6.0) * (x - x_grid[n - 1]) + y_grid[n - 1]
+        h1 = x_grid[n - 1] - x_grid[n - 2]
+        s1 = (y_grid[n - 1] - y_grid[n - 2]) / h1
+        high = (s1 + h1 * y2[n - 2] / 6.0) * (x - x_grid[n - 1]) + y_grid[n - 1]
 
-    out = np.where(x < x_grid[0], low, np.where(x >= x_grid[n - 1], high, out))
+        out = np.where(
+            x < x_grid[0], low, np.where(x >= x_grid[n - 1], high, out)
+        )
     return out[0] if scalar else out
 
 
