@@ -1,0 +1,290 @@
+"""Particle-mesh / SPH mass assignment on (radial bin × HEALPix pixel) grids.
+
+TPU-native replacement for the reference's OpenMP Cython/C kernels
+(cora/util/pmesh.pyx + pmesh_util.c): SPH-style Gaussian mass assignment
+over the 9 nearest-neighbour pixels and ±1 radial bins, normalised per
+particle.  The atomic scatter-add of the C kernel (pmesh_util.c:37-38)
+becomes a deterministic XLA scatter-add (`.at[].add`) — no atomics, no
+races, identical results run-to-run.
+
+All functions are jittable; the host-compatible wrappers live in
+cora_tpu.util.pmesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def calculate_positions(angpos, displacement):
+    """Apply an angular displacement with pole/azimuth wrapping.
+
+    Parameters
+    ----------
+    angpos : [2, npix] (theta, phi)
+    displacement : [2, npix]
+
+    Returns
+    -------
+    new_angpos : [2, npix]
+    """
+    new = angpos + displacement
+    th, ph = new[0], new[1]
+
+    wrap = (th > jnp.pi) | (th < 0)
+    th = jnp.where(wrap, jnp.pi - th % jnp.pi, th)
+    ph = jnp.where(wrap, ph + jnp.pi, ph)
+    ph = ph % (2 * jnp.pi)
+    return jnp.stack([th, ph])
+
+
+def pixel_weights(new_ang_ind, new_ang_vec, scaling, sigma, nn_ind, nn_vec):
+    """Gaussian SPH weights over the 9 neighbour pixels of each particle.
+
+    Parameters
+    ----------
+    new_ang_ind : [npart] int
+        Pixel containing each particle's new position.
+    new_ang_vec : [npart, 3]
+        Particle positions as unit vectors.
+    scaling : [npart]
+        Particle size scaling (local volume change).
+    sigma : float
+        Nominal angular particle size.
+    nn_ind : [npix, 9] int
+        Neighbour pixel indices (self first; -1 where missing).
+    nn_vec : [npix, 9, 3]
+        Neighbour pixel centre vectors.
+
+    Returns
+    -------
+    pixel_ind : [npart, 9] int32
+    pixel_weight : [npart, 9]
+    """
+    npix = nn_ind.shape[0]
+    ind = jnp.clip(new_ang_ind, 0, npix - 1)
+
+    nbr_i = nn_ind[ind]  # [npart, 9]
+    nbr_v = nn_vec[ind]  # [npart, 9, 3]
+
+    dot = jnp.einsum("pjc,pc->pj", nbr_v, new_ang_vec)
+    dist2 = 1.0 - dot * dot  # sin^2 of angular separation
+
+    inv_sigma2 = (scaling * sigma) ** -2
+    w = jnp.exp(-0.5 * dist2 * inv_sigma2[:, None])
+
+    valid = nbr_i >= 0
+    w = jnp.where(valid, w, 0.0)
+    pix = jnp.where(valid, nbr_i, 0).astype(jnp.int32)
+
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    return pix, w
+
+
+def radial_weights(new_chi_ind, new_chi, scaling, sigma, nnh, chi):
+    """Gaussian SPH weights over the ±nnh nearest radial bins.
+
+    The window is clipped so it never extends beyond the radial range
+    (edge particles deposit on the interior side).
+    """
+    nchi = chi.shape[0]
+    nn = 2 * nnh + 1
+
+    low = jnp.clip(new_chi_ind - nnh, 0, nchi - nn)
+    offs = jnp.arange(nn)
+    idx = low[:, None] + offs[None, :]  # [npart, nn]
+
+    dchi = chi[idx] - new_chi[:, None]
+    inv_sigma2 = (scaling * sigma) ** -2
+    w = jnp.exp(-0.5 * dchi**2 * inv_sigma2[:, None])
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    return idx.astype(jnp.int32), w
+
+
+def bin_delta(rho, pixel_ind, pixel_weight, radial_ind, radial_weight, out):
+    """Scatter particle masses onto the (radial, pixel) grid.
+
+    out[r, p] += rho_i * radial_weight[i, r'] * pixel_weight[i, p'] for
+    every (radial, pixel) pair in each particle's support.  Deterministic
+    XLA scatter-add replaces the reference's OpenMP atomics.
+    """
+    nchi, npix = out.shape
+
+    # [npart, nrad, npix_w]
+    w = (
+        rho[:, None, None]
+        * radial_weight[:, :, None]
+        * pixel_weight[:, None, :]
+    )
+    flat_idx = (
+        radial_ind[:, :, None].astype(jnp.int32) * npix
+        + pixel_ind[:, None, :].astype(jnp.int32)
+    )
+    out_flat = out.reshape(-1)
+    out_flat = out_flat.at[flat_idx.reshape(-1)].add(w.reshape(-1))
+    return out_flat.reshape(nchi, npix)
+
+
+def za_density_sph(
+    psi,
+    delta_bias,
+    delta_m,
+    chi,
+    nside,
+    sigma_chi=None,
+    *,
+    geometry=None,
+    chunk=1,
+):
+    """Zel'dovich density via SPH mass assignment — fully on-device.
+
+    Particles on each (chi, pixel) grid point are displaced by psi, then
+    their (biased) mass is spread with Gaussian weights over the 9
+    neighbouring pixels and ±1 radial bins (reference lss.py:1305-1419).
+
+    Parameters
+    ----------
+    psi : [3, nchi, npix]
+        Displacement field (radial, theta, phi/sin(theta)).
+    delta_bias, delta_m : [nchi, npix]
+        Biased mass field and matter field (sets particle sizes).
+    chi : [nchi]
+    nside : int
+    sigma_chi : float, optional
+        Radial smoothing at mean density (default: half mean bin width).
+    geometry : dict, optional
+        Precomputed host geometry tables (see `sph_geometry`).
+    chunk : int
+        Number of chi slices scattered per scan step.
+
+    Returns
+    -------
+    out : [nchi, npix] density contrast.
+    """
+    from ..healpix import pixel as hpx
+
+    nchi, npix = delta_bias.shape
+
+    # Frequency-ordered inputs have a *descending* radial axis; the binning
+    # assumes ascending chi, so flip in and out.
+    chi_host = np.asarray(chi)
+    if nchi > 1 and chi_host[1] < chi_host[0]:
+        out = za_density_sph(
+            psi[:, ::-1],
+            delta_bias[::-1],
+            delta_m[::-1],
+            chi_host[::-1],
+            nside,
+            sigma_chi=sigma_chi,
+            geometry=geometry,
+            chunk=chunk,
+        )
+        return out[::-1]
+
+    if geometry is None:
+        geometry = sph_geometry(nside)
+
+    angpos = geometry["angpos"]  # [2, npix]
+    nn_ind = geometry["nn_ind"]  # [npix, 9]
+    nn_vec = geometry["nn_vec"]  # [npix, 9, 3]
+
+    if sigma_chi is None:
+        sigma_chi = float(np.mean(np.abs(np.diff(np.asarray(chi)))) / 2)
+    sigma_ang = hpx.nside2resol(nside) / 2
+
+    chi = jnp.asarray(chi)
+
+    def slice_update(out, ii):
+        density = 1.0 + jax.lax.dynamic_index_in_dim(delta_bias, ii, 0, False)
+        dm = jax.lax.dynamic_index_in_dim(delta_m, ii, 0, False)
+        psi_r = jax.lax.dynamic_index_in_dim(psi[0], ii, 0, False)
+        psi_t = jax.lax.dynamic_index_in_dim(psi[1], ii, 0, False)
+        psi_p = jax.lax.dynamic_index_in_dim(psi[2], ii, 0, False)
+
+        scaling = jnp.clip(1.0 + dm, 0.1, 3.0) ** (-1.0 / 3)
+
+        new_ang = calculate_positions(angpos, jnp.stack([psi_t, psi_p]))
+        new_chi = chi[ii] + psi_r
+
+        new_ang_ind = _ang2pix_jax(nside, new_ang[0], new_ang[1])
+        st = jnp.sin(new_ang[0])
+        new_ang_vec = jnp.stack(
+            [st * jnp.cos(new_ang[1]), st * jnp.sin(new_ang[1]), jnp.cos(new_ang[0])],
+            axis=-1,
+        )
+
+        pix_i, pix_w = pixel_weights(
+            new_ang_ind, new_ang_vec, scaling, sigma_ang, nn_ind, nn_vec
+        )
+        chi_ind = jnp.searchsorted(chi, new_chi)
+        rad_i, rad_w = radial_weights(
+            chi_ind, new_chi, scaling, sigma_chi, 1, chi
+        )
+        return bin_delta(density, pix_i, pix_w, rad_i, rad_w, out)
+
+    def step(out, ii):
+        return slice_update(out, ii), None
+
+    out0 = jnp.zeros((nchi, npix), dtype=delta_bias.dtype)
+    out, _ = jax.lax.scan(step, out0, jnp.arange(nchi))
+    return out - 1.0
+
+
+def sph_geometry(nside):
+    """Host-precomputed geometry tables for the SPH gridder."""
+    from ..healpix import pixel as hpx
+
+    npix = hpx.nside2npix(nside)
+    th, ph = hpx.pix2ang(nside, np.arange(npix))
+    angpos = np.stack([th, ph])
+
+    nn_ind = np.zeros((npix, 9), dtype=np.int64)
+    nn_ind[:, 0] = np.arange(npix)
+    nn_ind[:, 1:] = hpx.get_all_neighbours(nside, np.arange(npix)).T
+
+    safe = np.where(nn_ind >= 0, nn_ind, 0)
+    x, y, z = hpx.pix2vec(nside, safe.ravel())
+    nn_vec = np.stack([x, y, z], axis=-1).reshape(npix, 9, 3)
+
+    return dict(
+        angpos=jnp.asarray(angpos),
+        nn_ind=jnp.asarray(nn_ind),
+        nn_vec=jnp.asarray(nn_vec),
+    )
+
+
+def _ang2pix_jax(nside, theta, phi):
+    """RING ang2pix, jittable (mirror of healpix.pixel.ang2pix)."""
+    z = jnp.cos(theta)
+    za = jnp.abs(z)
+    tt = jnp.mod(phi, 2 * jnp.pi) / (0.5 * jnp.pi)
+
+    npix = 12 * nside * nside
+    ncap = 2 * nside * (nside - 1)
+
+    # equatorial
+    temp1 = nside * (0.5 + tt)
+    temp2 = nside * 0.75 * z
+    jp_e = jnp.floor(temp1 - temp2).astype(jnp.int64)
+    jm_e = jnp.floor(temp1 + temp2).astype(jnp.int64)
+    ir_e = nside + 1 + jp_e - jm_e
+    kshift = 1 - (ir_e & 1)
+    ip_e = jnp.mod((jp_e + jm_e - nside + kshift + 1) // 2, 4 * nside)
+    pix_eq = ncap + (ir_e - 1) * 4 * nside + ip_e
+
+    # polar caps
+    tp = tt - jnp.floor(tt)
+    tmp = nside * jnp.sqrt(jnp.maximum(3.0 * (1.0 - za), 0.0))
+    jp_c = (tp * tmp).astype(jnp.int64)
+    jm_c = ((1.0 - tp) * tmp).astype(jnp.int64)
+    ir_c = jp_c + jm_c + 1
+    ip_c = jnp.mod((tt * ir_c).astype(jnp.int64), 4 * ir_c)
+    pix_n = 2 * ir_c * (ir_c - 1) + ip_c
+    pix_s = npix - 2 * ir_c * (ir_c + 1) + ip_c
+    pix_cap = jnp.where(z > 0, pix_n, pix_s)
+
+    return jnp.where(za <= 2.0 / 3.0, pix_eq, pix_cap)

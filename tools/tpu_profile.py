@@ -17,7 +17,7 @@ nz = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 lmax = 3 * nside - 1
 
 t0 = time.time()
-op = SHT(nside, lmax, legendre_mode="cached")
+op = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm")
 print(f"SHT setup (cached Lambda): {time.time()-t0:.1f}s", flush=True)
 
 rng = np.random.RandomState(0)
