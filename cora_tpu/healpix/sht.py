@@ -308,6 +308,83 @@ def _map_to_rings(op, t, fmap, cdtype):
     return G * jnp.conj(t["fold_phase"]).astype(cdtype)
 
 
+def _fft2_last(op, t, x, inverse=False):
+    """(I)FFT at the foldless padded size nfft2 (matmul or XLA form)."""
+    if op.fft_mode == "mm":
+        n1, n2 = op._fft2_n1n2
+        key = "ifft2" if inverse else "fft2"
+        tab = {"W1": t[key + "W1"], "T": t[key + "T"], "W2": t[key + "W2"]}
+        y = fftmm._apply(x, tab, n1, n2)
+        return y / op.nfft2 if inverse else y
+    if inverse:
+        return jnp.fft.ifft(x, axis=-1)
+    return jnp.fft.fft(x, axis=-1)
+
+
+def _rings_to_grid(op, t, G):
+    """Dense ring-grid synthesis: S[..., r, j] for j < n_r via generalized
+    Bluestein (M inputs -> n_r outputs; no scatter, no gather)."""
+    cdtype = G.dtype
+    nq_max = t["bl_C"].shape[-1]
+
+    a = G * t["bl_A"].astype(cdtype)
+    pad = op.nfft2 - a.shape[-1]
+    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+    conv = _fft2_last(op, t, _fft2_last(op, t, a) * t["bl_Bf"].astype(cdtype),
+                      inverse=True)
+    S = conv[..., :nq_max] * t["bl_C"].astype(cdtype)
+
+    # real-field assembly on the grid: f = 2 Re S - Re G_0 (only on
+    # valid j < n_r positions; bl_C is zero-masked beyond the ring)
+    valid = (t["bl_C"] != 0.0).astype(S.real.dtype)
+    return 2.0 * S.real - G[..., 0:1].real * valid
+
+
+def _grid_to_rings(op, t, fgrid, cdtype):
+    """Adjoint: G[..., r, m] = sum_j f[r, j] e^{-i m phi_j} from the dense
+    ring grid (chirp-z with n_r inputs and M outputs)."""
+    L = op.lmax + 1
+    a = fgrid.astype(cdtype) * jnp.conj(t["bl_C"]).astype(cdtype)
+    pad = op.nfft2 - a.shape[-1]
+    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+    conv = _fft2_last(
+        op, t, _fft2_last(op, t, a) * jnp.conj(t["bl_Bf"]).astype(cdtype),
+        inverse=True,
+    )
+    # the conjugate-chirp convolution evaluates at integer m positions
+    return conv[..., :L] * jnp.conj(t["bl_A"]).astype(cdtype)
+
+
+def _synthesis_grid(op, t, alm):
+    """alm -> dense ring-grid map [..., nring, nq_max] (TPU-safe path)."""
+    if "lam" in t:
+        G = _legendre_contract_cached(op, t, alm)
+    else:
+        G = _legendre_contract_scan(op, t, alm)
+    return _rings_to_grid(op, t, G)
+
+
+def _analysis_once_grid(op, t, fgrid, cdtype):
+    G = _grid_to_rings(op, t, fgrid, cdtype)
+    G = G * (4.0 * np.pi / op.npix)
+    if "lam" in t:
+        return _legendre_project_cached(op, t, G)
+    return _legendre_project_scan(op, t, G)
+
+
+def _analysis_grid(op, t, fgrid, iter):
+    cdtype = jnp.complex128 if fgrid.dtype == jnp.float64 else jnp.complex64
+    alm = _analysis_once_grid(op, t, fgrid, cdtype)
+    for _ in range(iter):
+        resid = fgrid - _synthesis_grid(op, t, alm)
+        alm = alm + _analysis_once_grid(op, t, resid, cdtype)
+    return alm
+
+
+_synthesis_grid_jit = jax.jit(_synthesis_grid, static_argnums=0)
+_analysis_grid_jit = jax.jit(_analysis_grid, static_argnums=(0, 3))
+
+
 def _synthesis(op, t, alm):
     if "lam" in t:
         G = _legendre_contract_cached(op, t, alm)
@@ -447,6 +524,45 @@ class SHT:
         self._fold_phase = np.exp(1j * marr * self._phi0[:, None])
         self._fold_idx = (marr % self._nq[:, None]).astype(np.int32)
 
+        # --- foldless (generalized Bluestein) tables: evaluate
+        # S[r, j] = sum_m G[r, m] e^{i m (phi0_r + 2 pi j / n_r)} directly
+        # as a chirp-z transform with M inputs and n_r outputs — no
+        # m-folding scatter, no pixel gather (output stays on the dense
+        # ring grid).  Phases are computed mod 2 in exact integer
+        # arithmetic to keep f64 accuracy at large m^2.
+        mm2 = marr.astype(np.int64) ** 2
+        jj = np.arange(nq_max)
+        jj2 = jj.astype(np.int64)[None, :] ** 2
+        nqc = self._nq[:, None].astype(np.int64)
+
+        def _chirp(num2, nq):
+            # e^{i pi num2 / nq} with num2 mod (2 nq) for accuracy
+            red = np.mod(num2, 2 * nq)
+            return np.exp(1j * np.pi * red / nq)
+
+        # A2[r, m] = e^{i m phi0_r} e^{i pi m^2 / n_r}
+        self._bl_A = (self._fold_phase * _chirp(mm2, nqc)).astype(np.complex128)
+        # C[r, j] = e^{i pi j^2 / n_r}, masked to j < n_r
+        self._bl_C = (_chirp(jj2, nqc) * (jj[None, :] < self._nq[:, None])).astype(
+            np.complex128
+        )
+        # b kernel: w_d = e^{-i pi d^2 / n_r}, symmetric coverage
+        # d in [-(Dmax), +Dmax] with Dmax = max(M, nq_max) - 1 (serves both
+        # the synthesis (d = j - m) and analysis (d = m - j) directions)
+        Dmax = max(L, nq_max) - 1
+        nfft2 = _next_fft_size(2 * Dmax + 1)
+        self.nfft2 = nfft2
+        c2 = np.zeros((nring, nfft2), dtype=np.complex128)
+        for r in range(nring):
+            n = int(self._nq[r])
+            dpos = np.arange(Dmax + 1)
+            w = np.exp(-1j * np.pi * np.mod(dpos.astype(np.int64) ** 2, 2 * n) / n)
+            c2[r, : Dmax + 1] = w
+            c2[r, nfft2 - Dmax :] += w[1:][::-1]
+        self._bl_Bf = np.fft.fft(c2, axis=-1)
+        self._fftmm2_tabs = fftmm.dft_tables(nfft2, dtype=np.complex128)
+        self._fft2_n1n2 = self._fftmm2_tabs["n1n2"]
+
         r_of_pix = np.repeat(np.arange(nring), self._nq)
         self._r_of_pix = r_of_pix.astype(np.int32)
         self._j_of_pix = (np.arange(self.npix) - self._start[r_of_pix]).astype(
@@ -553,6 +669,14 @@ class SHT:
                     t[key + nm] = jnp.asarray(
                         self._fftmm_tabs[tab][nm].astype(cdt)
                     )
+        t["bl_A"] = jnp.asarray(self._bl_A.astype(cdt))
+        t["bl_C"] = jnp.asarray(self._bl_C.astype(cdt))
+        t["bl_Bf"] = jnp.asarray(self._bl_Bf.astype(cdt))
+        for key, tab in [("fft2", "fwd"), ("ifft2", "inv")]:
+            for nm in ("W1", "T", "W2"):
+                t[key + nm] = jnp.asarray(
+                    self._fftmm2_tabs[tab][nm].astype(cdt)
+                )
         if self._lam_host is not None:
             t["lam"] = tuple(
                 jnp.asarray(c_.astype(self.cache_dtype)) for c_ in self._lam_host
@@ -586,6 +710,35 @@ class SHT:
         fmap = jnp.asarray(fmap)
         t = self.tables(self._double_for(fmap.dtype))
         return _analysis_jit(self, t, fmap, iter)
+
+    def synthesis_grid(self, alm):
+        """alm2map onto the dense [nring, nq_max] ring grid (device-safe).
+
+        This is the TPU production layout: no scatter/gather ops.  Use
+        grid_to_map / map_to_grid to convert to HEALPix pixel ordering.
+        """
+        alm = jnp.asarray(alm)
+        t = self.tables(self._double_for(alm.dtype))
+        return _synthesis_grid_jit(self, t, alm)
+
+    def analysis_grid(self, fgrid, iter: int = 3):
+        """map2alm from the dense ring-grid layout."""
+        fgrid = jnp.asarray(fgrid)
+        t = self.tables(self._double_for(fgrid.dtype))
+        return _analysis_grid_jit(self, t, fgrid, iter)
+
+    def grid_to_map(self, fgrid):
+        """Ring-grid -> HEALPix RING pixel ordering (host numpy)."""
+        fgrid = np.asarray(fgrid)
+        return fgrid[..., self._r_of_pix, self._j_of_pix]
+
+    def map_to_grid(self, fmap):
+        """HEALPix RING pixel ordering -> ring-grid (host numpy)."""
+        fmap = np.asarray(fmap)
+        nq_max = self._bl_C.shape[-1]
+        out = np.zeros(fmap.shape[:-1] + (self.nring, nq_max), dtype=fmap.dtype)
+        out[..., self._r_of_pix, self._j_of_pix] = fmap
+        return out
 
     # --- internal traced hooks (used by the spin module and tests) ---
 

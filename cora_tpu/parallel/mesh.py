@@ -64,13 +64,14 @@ def mkfullsky_sharded(corr, nside, lmax, key, mesh, dtype=jnp.complex64):
     maps : jnp.ndarray[nz, 12*nside**2], sharded over nz.
     """
     from ..core.skysim import draw_correlated_alm
-    from ..healpix.sht import get_sht
+    from ..healpix.sht import get_sht, _synthesis_grid
 
     op = get_sht(int(nside), int(lmax))
+    tables = op.tables(False)
 
     ell_sharding = NamedSharding(mesh, P("freq", None, None))
     freq_sharding = NamedSharding(mesh, P("freq", None, None))
-    out_sharding = NamedSharding(mesh, P("freq", None))
+    out_sharding = NamedSharding(mesh, P("freq", None, None))
 
     @jax.jit
     def _run(corr, key):
@@ -79,8 +80,8 @@ def mkfullsky_sharded(corr, nside, lmax, key, mesh, dtype=jnp.complex64):
         alm = draw_correlated_alm(corr, key, dtype=dtype)  # [nz, L, M]
         # Phase boundary: redistribute ell->freq (all-to-all over ICI)
         alm = jax.lax.with_sharding_constraint(alm, freq_sharding)
-        # Phase 2: freq-sharded batched SHT
-        sky = op.synthesis(alm)
+        # Phase 2: freq-sharded batched SHT (dense ring-grid layout)
+        sky = _synthesis_grid(op, tables, alm)
         return jax.lax.with_sharding_constraint(sky, out_sharding)
 
     with mesh:

@@ -734,7 +734,7 @@ class GenerateFlatSpectrumMap(RandomTask):
             dz = lssutil.calculate_width(redshift)
         else:
             dV = differential_comoving_volume(redshift[ref_chan])
-            dz = redshift[ref_chan + 1] - redshift[ref_chan]
+            dz = abs(redshift[ref_chan + 1] - redshift[ref_chan])
         voxvol = dV * dz * omega
 
         m = containers.Map(

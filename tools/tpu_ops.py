@@ -53,6 +53,48 @@ out = jax.jit(lambda: jnp.zeros((16, 511, 2048), jnp.complex64))()
 """,
 }
 
+
+STAGES["gather60k"] = """
+y = jnp.asarray((rng.randn(8, 511, 1024) + 1j*rng.randn(8, 511, 1024)).astype(np.complex64))
+rp = jnp.asarray(rng.randint(0, 511, 60000).astype(np.int32))
+jp = jnp.asarray(rng.randint(0, 1020, 60000).astype(np.int32))
+out = jax.jit(lambda h: h[..., rp, jp])(y)
+"""
+STAGES["gather70k"] = """
+y = jnp.asarray((rng.randn(8, 511, 1024) + 1j*rng.randn(8, 511, 1024)).astype(np.complex64))
+rp = jnp.asarray(rng.randint(0, 511, 70000).astype(np.int32))
+jp = jnp.asarray(rng.randint(0, 1020, 70000).astype(np.int32))
+out = jax.jit(lambda h: h[..., rp, jp])(y)
+"""
+STAGES["gather786k_f32"] = """
+y = jnp.asarray(rng.randn(8, 511, 1024).astype(np.float32))
+rp = jnp.asarray(rng.randint(0, 511, 786432).astype(np.int32))
+jp = jnp.asarray(rng.randint(0, 1020, 786432).astype(np.int32))
+out = jax.jit(lambda h: h[..., rp, jp])(y)
+"""
+STAGES["gather786k_1d"] = """
+y = jnp.asarray((rng.randn(8, 511*1024) + 1j*rng.randn(8, 511*1024)).astype(np.complex64))
+fi = jnp.asarray(rng.randint(0, 511*1024, 786432).astype(np.int32))
+out = jax.jit(lambda h: h[:, fi])(y)
+"""
+STAGES["scatter_f32"] = """
+G = jnp.asarray(rng.randn(16, 511, 384).astype(np.float32))
+fold = jnp.asarray(rng.randint(0, 1020, (511, 384)).astype(np.int32))
+def sc(g):
+    H = jnp.zeros((16, 511, 2048), jnp.float32)
+    ridx = jnp.broadcast_to(jnp.arange(511)[:, None], fold.shape)
+    return H.at[..., ridx, fold].add(g)
+out = jax.jit(sc)(G)
+"""
+STAGES["scatter_1d"] = """
+G = jnp.asarray((rng.randn(16, 511*384) + 1j*rng.randn(16, 511*384)).astype(np.complex64))
+fi = jnp.asarray(rng.randint(0, 511*2048, 511*384).astype(np.int32))
+def sc(g):
+    H = jnp.zeros((16, 511*2048), jnp.complex64)
+    return H.at[:, fi].add(g)
+out = jax.jit(sc)(G)
+"""
+
 TEMPLATE = """
 import sys, os, time
 sys.path.insert(0, '/root/repo')
@@ -68,12 +110,16 @@ if __name__ == "__main__":
     names = sys.argv[1:] or list(STAGES)
     for name in names:
         code = TEMPLATE.format(body=STAGES[name], name=name)
-        r = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True,
-            text=True,
-            timeout=480,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=480,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"TIMEOUT {name} (480s)", flush=True)
+            continue
         out = r.stdout.strip()
         if r.returncode != 0:
             err = [
