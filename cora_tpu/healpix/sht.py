@@ -728,17 +728,19 @@ class SHT:
         return _analysis_grid_jit(self, t, fgrid, iter)
 
     def grid_to_map(self, fgrid):
-        """Ring-grid -> HEALPix RING pixel ordering (host numpy)."""
+        """Ring-grid -> HEALPix RING pixel ordering (native host path)."""
+        from .. import native
+
         fgrid = np.asarray(fgrid)
-        return fgrid[..., self._r_of_pix, self._j_of_pix]
+        return native.grid_to_pixels(fgrid, self._start, self._nq, self.npix)
 
     def map_to_grid(self, fmap):
-        """HEALPix RING pixel ordering -> ring-grid (host numpy)."""
+        """HEALPix RING pixel ordering -> ring-grid (native host path)."""
+        from .. import native
+
         fmap = np.asarray(fmap)
         nq_max = self._bl_C.shape[-1]
-        out = np.zeros(fmap.shape[:-1] + (self.nring, nq_max), dtype=fmap.dtype)
-        out[..., self._r_of_pix, self._j_of_pix] = fmap
-        return out
+        return native.pixels_to_grid(fmap, self._start, self._nq, nq_max)
 
     # --- internal traced hooks (used by the spin module and tests) ---
 

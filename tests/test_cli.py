@@ -1,0 +1,111 @@
+"""CLI smoke tests: cora-makesky subcommands and the HDF5 map schema."""
+
+import numpy as np
+import h5py
+import pytest
+from click.testing import CliRunner
+
+from cora_tpu.scripts.makesky import cli, FreqState
+
+
+def test_freqstate_modes():
+    fs = FreqState()
+    fs.freq = (800.0, 400.0, 4)
+    fs.freq_mode = "centre"
+    assert np.allclose(fs.frequencies, [800.0, 700.0, 600.0, 500.0])
+    assert fs.freq_width == 100.0
+
+    fs.freq_mode = "centre_nyquist"
+    assert np.allclose(fs.frequencies, np.linspace(800, 400, 4))
+
+    fs.freq_mode = "edge"
+    assert np.allclose(fs.frequencies, [750.0, 650.0, 550.0, 450.0])
+
+    fs.freq_mode = "centre"
+    fs.channel_bin = 2
+    assert np.allclose(fs.frequencies, [750.0, 550.0])
+
+    fs.channel_bin = 1
+    fs.channel_list = [0, 2]
+    assert np.allclose(fs.frequencies, [800.0, 600.0])
+
+
+def _check_map_schema(fname, nfreq, npol, nside):
+    with h5py.File(fname, "r") as f:
+        assert f.attrs["__memh5_distributed_file"]
+        m = f["map"]
+        assert m.shape == (nfreq, npol, 12 * nside**2)
+        assert list(m.attrs["axis"]) == ["freq", "pol", "pixel"]
+        fm = f["index_map/freq"][:]
+        assert fm.dtype.names == ("centre", "width")
+        assert len(f["index_map/pol"][:]) == npol
+        assert len(f["index_map/pixel"][:]) == 12 * nside**2
+        return m[:]
+
+
+def test_cli_21cm(tmp_path):
+    out = str(tmp_path / "map.h5")
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        [
+            "21cm",
+            "--nside", "16",
+            "--freq", "400", "416", "4",
+            "--pol", "zero",
+            "--oversample", "1",
+            "--seed", "1",
+            "--filename", out,
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0
+    m = _check_map_schema(out, 4, 4, 16)
+    assert m[:, 0].std() > 0
+    assert (m[:, 1:] == 0).all()
+
+
+def test_cli_singlesource(tmp_path):
+    out = str(tmp_path / "src.h5")
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        [
+            "singlesource",
+            "--nside", "16",
+            "--freq", "400", "420", "2",
+            "--ra", "90.0",
+            "--dec", "30.0",
+            "--filename", out,
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0
+    m = _check_map_schema(out, 2, 4, 16)
+    assert m.sum() == 2.0  # one unit source per frequency
+
+    from cora_tpu.healpix import pixel
+
+    ipix = pixel.ang2pix(16, np.radians(90 - 30.0), np.radians(90.0))[0]
+    assert m[0, 0, ipix] == 1.0
+
+
+def test_cli_pointsource(tmp_path):
+    out = str(tmp_path / "ps.h5")
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        [
+            "pointsource",
+            "--nside", "16",
+            "--freq", "400", "440", "4",
+            "--pol", "none",
+            "--seed", "3",
+            "--filename", out,
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0
+    m = _check_map_schema(out, 4, 1, 16)
+    assert np.isfinite(m).all()
+    assert m[:, 0].std() > 0
