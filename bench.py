@@ -49,9 +49,7 @@ def main():
     t0 = time.time()
     model = Corr21cm()
     tables = clfast.build_cl_tables(model, freqs, dtype=np.float64)
-    cla = np.asarray(
-        clfast.cl_grid({k: np.asarray(v) for k, v in tables.items()}, lmax)
-    )
+    cla = clfast.cl_grid_np(tables, lmax)
     print(f"# C_l table setup: {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()

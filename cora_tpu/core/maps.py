@@ -142,6 +142,29 @@ class Map3d(Map2d):
     # Alias matching the reference attribute name.
     nu_pixels = frequencies
 
+    @classmethod
+    def like_kiyo_map(cls, mapobj, *args, **kwargs):
+        """Create a Map3d matching a kiyo-style map object's geometry.
+
+        Expects `mapobj.get_axis(name)` for freq/ra/dec axes and an `info`
+        dict with `dec_centre` (reference maps.py:175-200).
+        """
+        c = cls(*args, **kwargs)
+
+        freq_axis = mapobj.get_axis("freq")
+        ra_axis = mapobj.get_axis("ra")
+        dec_axis = mapobj.get_axis("dec")
+
+        ra_fact = np.cos(np.pi * mapobj.info["dec_centre"] / 180.0)
+        c.x_width = (max(ra_axis) - min(ra_axis)) * ra_fact
+        c.y_width = max(dec_axis) - min(dec_axis)
+        c.x_num, c.y_num = (len(ra_axis), len(dec_axis))
+
+        c.nu_lower = min(freq_axis) / 1.0e6
+        c.nu_upper = max(freq_axis) / 1.0e6
+        c.nu_num = len(freq_axis)
+        return c
+
 
 class Sky3d(Map3d):
     """Base class for full-sky multi-frequency Gaussian map synthesis.

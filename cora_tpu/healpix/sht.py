@@ -812,6 +812,27 @@ def anafast(map1, map2=None, lmax: int | None = None, iter: int = 3):
     return (s / (2.0 * jnp.arange(lmax + 1) + 1.0)).real
 
 
+def alm2map_der1(alm, nside: int):
+    """Map and its first derivatives [f, df/dθ, df/dφ/sinθ].
+
+    healpy.alm2map_der1 equivalent; the angular derivatives are one
+    batched spin-1 synthesis.
+    """
+    from . import spin as _spin
+
+    alm = jnp.asarray(alm)
+    lmax = alm.shape[-2] - 1
+    f = alm2map(alm, nside)
+
+    ell = jnp.arange(lmax + 1)[:, None]
+    almE = alm * jnp.sqrt(ell * (ell + 1.0))
+    op = _spin.get_spin_sht(nside, lmax, 1)
+    # Our spin-1 B-component convention is the negative of healpy's
+    # dφ/sinθ (verified against analytic Y_11/Y_10 derivatives).
+    dth, dph = op.synthesis(-almE, jnp.zeros_like(almE))
+    return jnp.stack([f, dth, -dph])
+
+
 def smoothalm(alm, fwhm: float):
     """Gaussian beam smoothing of alm (fwhm in radians)."""
     lmax = alm.shape[-2] - 1

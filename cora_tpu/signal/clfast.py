@@ -45,7 +45,8 @@ def build_cl_tables(model, freqs, freq_width=None, dtype=np.float32):
 
     Returns
     -------
-    dict of jnp arrays: dd/dv/vv tables and per-channel vectors.
+    dict of host numpy arrays: dd/dv/vv tables and per-channel vectors
+    (device_put them for the on-device cl_grid path).
     """
     freqs = np.asarray(freqs, dtype=np.float64)
     if freq_width is None:
@@ -71,9 +72,9 @@ def build_cl_tables(model, freqs, freq_width=None, dtype=np.float32):
     model._aps_cache = False
     model._build_fft_cache()
     tables = dict(
-        dd=jnp.asarray(model._aps_dd.astype(dtype)),
-        dv=jnp.asarray(model._aps_dv.astype(dtype)),
-        vv=jnp.asarray(model._aps_vv.astype(dtype)),
+        dd=model._aps_dd.astype(dtype),
+        dv=model._aps_dv.astype(dtype),
+        vv=model._aps_vv.astype(dtype),
     )
     model._freq_window = old_window
     model._aps_cache = old_cache
@@ -82,17 +83,15 @@ def build_cl_tables(model, freqs, freq_width=None, dtype=np.float32):
 
     D = model.growth_factor(z) / model.growth_factor(model.ps_redshift)
     tables.update(
-        chi=jnp.asarray(chi.astype(dtype)),
-        D=jnp.asarray(np.asarray(D).astype(dtype)),
-        f=jnp.asarray(np.asarray(model.growth_rate(z)).astype(dtype)),
-        b=jnp.asarray(np.asarray(model.bias_z(z)).astype(dtype)),
-        pf=jnp.asarray(np.asarray(model.prefactor(z)).astype(dtype)),
-        grid=jnp.asarray(
-            np.array(
-                [model._kperpmin, model._kperpmax, model._nkperp, model._kparmax],
-                dtype=np.float64,
-            ).astype(dtype)
-        ),
+        chi=chi.astype(dtype),
+        D=np.asarray(D).astype(dtype),
+        f=np.asarray(model.growth_rate(z)).astype(dtype),
+        b=np.asarray(model.bias_z(z)).astype(dtype),
+        pf=np.asarray(model.prefactor(z)).astype(dtype),
+        grid=np.array(
+            [model._kperpmin, model._kperpmax, model._nkperp, model._kparmax],
+            dtype=np.float64,
+        ).astype(dtype),
     )
     return tables
 
@@ -116,6 +115,57 @@ def _interp2d(arr, x, y):
         + v10 * fx * (1 - fy)
         + v11 * fx * fy
     )
+
+
+def cl_grid_np(tables, lmax):
+    """Host numpy evaluation of the channel-integrated C_l grid.
+
+    Same math as :func:`cl_grid`; use when the accelerator backend should
+    not be touched during setup (e.g. the benchmark's one-time table
+    build).
+    """
+    from ..util.bilinear import interp2d_np
+
+    g = np.asarray(tables["grid"], dtype=np.float64)
+    kperpmin, kperpmax, nkperp, kparmax = g[0], g[1], g[2], g[3]
+    chi = np.asarray(tables["chi"], dtype=np.float64)
+    la = np.arange(lmax + 1, dtype=np.float64)
+    la[la == 0.0] = 1e-10
+
+    xc = 0.5 * (chi[:, None] + chi[None, :])
+    rpar = np.abs(chi[:, None] - chi[None, :])
+    y2d = rpar / (np.pi / kparmax)
+
+    D = np.asarray(tables["D"], dtype=np.float64)
+    f = np.asarray(tables["f"], dtype=np.float64)
+    b = np.asarray(tables["b"], dtype=np.float64)
+    pf = np.asarray(tables["pf"], dtype=np.float64)
+
+    A = (D * pf)[:, None] * (D * pf)[None, :]
+    bb = b[:, None] * b[None, :]
+    fb = f[:, None] * b[None, :] + f[None, :] * b[:, None]
+    ff = f[:, None] * f[None, :]
+
+    dd = np.asarray(tables["dd"])
+    dv = np.asarray(tables["dv"])
+    vv = np.asarray(tables["vv"])
+
+    # chunk over l to bound host memory for large (lmax, nz) grids
+    out = np.empty((lmax + 1,) + xc.shape)
+    for lo in range(0, lmax + 1, 256):
+        hi = min(lmax + 1, lo + 256)
+        x = (
+            (np.log10(la[lo:hi])[:, None, None] - np.log10(xc * kperpmin)[None])
+            / np.log10(kperpmax / kperpmin)
+            * (nkperp - 1)
+        )
+        y = np.broadcast_to(y2d[None], x.shape)
+        out[lo:hi] = (A / (xc**2 * np.pi))[None] * (
+            bb[None] * interp2d_np(dd, x, y)
+            + fb[None] * interp2d_np(dv, x, y)
+            + ff[None] * interp2d_np(vv, x, y)
+        )
+    return out
 
 
 def cl_grid(tables, lmax):

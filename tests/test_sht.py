@@ -114,3 +114,33 @@ def test_smoothing_reduces_power():
     assert sm.var() < m.var()
     # the monopole is preserved up to quadrature error
     assert abs(sm.mean() - m.mean()) < 5e-3 * m.std()
+
+def test_alm2map_der1():
+    """alm2map_der1 returns [f, df/dθ, df/dφ/sinθ] (healpy convention),
+    checked against analytic derivatives of Y_10 and Y_11."""
+    from scipy.special import sph_harm_y
+
+    nside, lmax = 16, 4
+    th, ph = (np.asarray(a) for a in
+              pixel.pix2ang(nside, np.arange(pixel.nside2npix(nside))))
+
+    # Y_10 ∝ cosθ: dθ = -N sinθ, dφ = 0
+    alm = np.zeros((lmax + 1, lmax + 1), dtype=np.complex128)
+    alm[1, 0] = 1.0
+    f, dth, dph = np.asarray(sht.alm2map_der1(jnp.asarray(alm), nside))
+    N = np.sqrt(3.0 / (4.0 * np.pi))
+    assert np.abs(f - N * np.cos(th)).max() < 1e-12
+    assert np.abs(dth + N * np.sin(th)).max() < 1e-12
+    assert np.abs(dph).max() < 1e-12
+
+    # Y_11 with complex amplitude: checks the φ-derivative sign.
+    a = 1.0 + 0.5j
+    alm = np.zeros((lmax + 1, lmax + 1), dtype=np.complex128)
+    alm[1, 1] = a
+    f, dth, dph = np.asarray(sht.alm2map_der1(jnp.asarray(alm), nside))
+    Y11 = sph_harm_y(1, 1, th, ph)
+    assert np.abs(f - 2 * np.real(a * Y11)).max() < 1e-12
+    assert np.abs(dph - 2 * np.real(1j * a * Y11) / np.sin(th)).max() < 1e-12
+    c = -np.sqrt(3.0 / (8.0 * np.pi))
+    dth_exp = 2 * np.real(a * c * np.cos(th) * np.exp(1j * ph))
+    assert np.abs(dth - dth_exp).max() < 1e-12
