@@ -319,3 +319,29 @@ def sph_ps(map1, map2=None, lmax=None):
     """Cross power spectrum of two maps (fixes the reference's dead
     hputil.sph_ps, hputil.py:607-619)."""
     return np.asarray(_sht.anafast(map1, map2, lmax=lmax, iter=_iter))
+
+
+class Rotator:
+    """Minimal healpy.Rotator stand-in for coordinate rotations.
+
+    Supports ``Rotator(coord=["G", "C"])(theta, phi)`` (rotate angle
+    arrays from the first system into the second) and
+    ``rotate_map_pixel(m)`` (pixel-interpolation map rotation, the scheme
+    the reference uses via hputil.coord_x2y, hputil.py:534-566).
+    """
+
+    def __init__(self, coord=("G", "C")):
+        if len(coord) != 2:
+            raise ValueError("coord must name two systems, e.g. ['G', 'C']")
+        self.coord = (coord[0].upper(), coord[1].upper())
+        # Matrix taking vectors in coord[0] to coord[1].
+        self._mat = _coord_matrix(self.coord[1], self.coord[0])
+
+    def __call__(self, theta, phi):
+        vec = pixel.ang2vec(np.asarray(theta), np.asarray(phi))
+        return pixel.vec2ang(np.asarray(vec) @ np.asarray(self._mat).T)
+
+    def rotate_map_pixel(self, map_):
+        # Output pixel p (in coord[1]) samples the input at the inverse
+        # rotation of its position.
+        return coord_x2y(map_, self.coord[0], self.coord[1])
