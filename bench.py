@@ -39,6 +39,7 @@ def main():
     from cora_tpu.signal.corr21cm import Corr21cm
     from cora_tpu.signal import clfast
     from cora_tpu.healpix.sht import SHT, _synthesis_grid
+    from cora_tpu.util import xfer
 
     nside, nfreq = args.nside, args.nfreq
     lmax = 3 * nside - 1
@@ -65,25 +66,26 @@ def main():
 
     t0 = time.time()
     op = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm")
-    sht_tables = op.tables(False)
-    roots_d = jax.device_put(jnp.asarray(roots))
-    print(f"# SHT tables setup: {time.time()-t0:.1f}s", file=sys.stderr)
+    sht_tables = xfer.put_tree(op.tables(False))
+    roots_d = xfer.put(roots)
+    print(f"# SHT tables setup+transfer: {time.time()-t0:.1f}s", file=sys.stderr)
 
     fchunk = args.fchunk
 
     # timed step: draw alm for all freq, then per-chunk grid synthesis;
     # returns a scalar so the tunnel never ships the cube
-    mmask = (jnp.arange(L)[None, :] <= jnp.arange(L)[:, None]).astype(jnp.float32)
-
+    # n.b. roots/mask enter as jit ARGUMENTS: closure-captured device arrays
+    # would be inlined as MLIR constants (slow compile + device fetch).
     @jax.jit
-    def draw(key, lo):
+    def draw(key, r):
         kr, ki = jax.random.split(key)
         shape = (L, nfreq, L)
+        mmask = (jnp.arange(L)[None, :] <= jnp.arange(L)[:, None]).astype(jnp.float32)
         xi = (
             jax.random.normal(kr, shape, jnp.float32)
             + 1j * jax.random.normal(ki, shape, jnp.float32)
         ) * (0.70710678 * mmask[:, None, :])
-        alm = jnp.einsum("lzy,lym->lzm", roots_d.astype(jnp.complex64), xi)
+        alm = jnp.einsum("lzy,lym->lzm", r.astype(jnp.complex64), xi)
         return jnp.moveaxis(alm, 0, 1)  # [nz, L, M]
 
     @jax.jit
@@ -92,7 +94,7 @@ def main():
         return g, jnp.sum(jnp.abs(g))
 
     def step(key):
-        alm = draw(key, 0)
+        alm = draw(key, roots_d)
         acc = 0.0
         for i in range(0, nfreq, fchunk):
             g, s = synth_chunk(alm[i : i + fchunk], sht_tables)
