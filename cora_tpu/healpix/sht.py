@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from . import pixel
 from ..ops import fftmm
+from ..util.xfer import put as _put
 
 
 def _next_fft_size(n):
@@ -652,40 +653,42 @@ class SHT:
         return t
 
     def _make_tables(self, cdt, fdt):
+        # Every leaf goes through xfer.put: complex tables must be shipped
+        # as (re, im) float pairs on backends whose complex H2D transfer
+        # path is broken (see cora_tpu/util/xfer.py).
+        from ..util import xfer
+
+        put = xfer.put
         t = dict(
-            chirp_A=jnp.asarray(self._chirp_A.astype(cdt)),
-            chirp_Bf=jnp.asarray(self._chirp_Bf.astype(cdt)),
-            fold_phase=jnp.asarray(self._fold_phase.astype(cdt)),
-            fold_idx=jnp.asarray(self._fold_idx),
-            r_of_pix=jnp.asarray(self._r_of_pix),
-            j_of_pix=jnp.asarray(self._j_of_pix),
-            mirror=jnp.asarray(self._mirror),
-            north_idx=jnp.asarray(self._north_idx),
-            south_idx=jnp.asarray(self._south_idx),
+            chirp_A=put(self._chirp_A.astype(cdt)),
+            chirp_Bf=put(self._chirp_Bf.astype(cdt)),
+            fold_phase=put(self._fold_phase.astype(cdt)),
+            fold_idx=put(self._fold_idx),
+            r_of_pix=put(self._r_of_pix),
+            j_of_pix=put(self._j_of_pix),
+            mirror=put(self._mirror),
+            north_idx=put(self._north_idx),
+            south_idx=put(self._south_idx),
         )
         if self.fft_mode == "mm":
             for key, tab in [("fft", "fwd"), ("ifft", "inv")]:
                 for nm in ("W1", "T", "W2"):
-                    t[key + nm] = jnp.asarray(
-                        self._fftmm_tabs[tab][nm].astype(cdt)
-                    )
-        t["bl_A"] = jnp.asarray(self._bl_A.astype(cdt))
-        t["bl_C"] = jnp.asarray(self._bl_C.astype(cdt))
-        t["bl_Bf"] = jnp.asarray(self._bl_Bf.astype(cdt))
+                    t[key + nm] = put(self._fftmm_tabs[tab][nm].astype(cdt))
+        t["bl_A"] = put(self._bl_A.astype(cdt))
+        t["bl_C"] = put(self._bl_C.astype(cdt))
+        t["bl_Bf"] = put(self._bl_Bf.astype(cdt))
         for key, tab in [("fft2", "fwd"), ("ifft2", "inv")]:
             for nm in ("W1", "T", "W2"):
-                t[key + nm] = jnp.asarray(
-                    self._fftmm2_tabs[tab][nm].astype(cdt)
-                )
+                t[key + nm] = put(self._fftmm2_tabs[tab][nm].astype(cdt))
         if self._lam_host is not None:
             t["lam"] = tuple(
-                jnp.asarray(c_.astype(self.cache_dtype)) for c_ in self._lam_host
+                put(c_.astype(self.cache_dtype)) for c_ in self._lam_host
             )
         else:
-            t["rec_a"] = jnp.asarray(self._rec_a.astype(fdt))
-            t["rec_b"] = jnp.asarray(self._rec_b.astype(fdt))
-            t["lam_mm"] = jnp.asarray(self._lam_mm.astype(fdt))
-            t["z_half"] = jnp.asarray(self._z_half.astype(fdt))
+            t["rec_a"] = put(self._rec_a.astype(fdt))
+            t["rec_b"] = put(self._rec_b.astype(fdt))
+            t["lam_mm"] = put(self._lam_mm.astype(fdt))
+            t["z_half"] = put(self._z_half.astype(fdt))
         return t
 
     @staticmethod
@@ -701,13 +704,13 @@ class SHT:
 
     def synthesis(self, alm):
         """alm2map: dense alm[..., lmax+1, lmax+1] → map[..., 12 nside²]."""
-        alm = jnp.asarray(alm)
+        alm = _put(alm)
         t = self.tables(self._double_for(alm.dtype))
         return _synthesis_jit(self, t, alm)
 
     def analysis(self, fmap, iter: int = 3):
         """map2alm with pixel-area quadrature + Jacobi refinement."""
-        fmap = jnp.asarray(fmap)
+        fmap = _put(fmap)
         t = self.tables(self._double_for(fmap.dtype))
         return _analysis_jit(self, t, fmap, iter)
 
@@ -717,13 +720,13 @@ class SHT:
         This is the TPU production layout: no scatter/gather ops.  Use
         grid_to_map / map_to_grid to convert to HEALPix pixel ordering.
         """
-        alm = jnp.asarray(alm)
+        alm = _put(alm)
         t = self.tables(self._double_for(alm.dtype))
         return _synthesis_grid_jit(self, t, alm)
 
     def analysis_grid(self, fgrid, iter: int = 3):
         """map2alm from the dense ring-grid layout."""
-        fgrid = jnp.asarray(fgrid)
+        fgrid = _put(fgrid)
         t = self.tables(self._double_for(fgrid.dtype))
         return _analysis_grid_jit(self, t, fgrid, iter)
 
@@ -786,14 +789,14 @@ def get_sht(
 
 def alm2map(alm, nside: int):
     """Synthesis of a dense alm[..., l, m] array onto a HEALPix map."""
-    alm = jnp.asarray(alm)
+    alm = _put(alm)
     lmax = alm.shape[-2] - 1
     return get_sht(nside, lmax).synthesis(alm)
 
 
 def map2alm(fmap, lmax: int | None = None, iter: int = 3):
     """Analysis of a HEALPix map into dense alm[..., l, m]."""
-    fmap = jnp.asarray(fmap)
+    fmap = _put(fmap)
     nside = pixel.npix2nside(fmap.shape[-1])
     if lmax is None:
         lmax = 3 * nside - 1
@@ -820,7 +823,7 @@ def alm2map_der1(alm, nside: int):
     """
     from . import spin as _spin
 
-    alm = jnp.asarray(alm)
+    alm = _put(alm)
     lmax = alm.shape[-2] - 1
     f = alm2map(alm, nside)
 
@@ -848,5 +851,5 @@ def smoothing(fmap, fwhm: float = None, iter: int = 3, sigma: float = None):
         fwhm = sigma * np.sqrt(8.0 * np.log(2.0))
     nside = pixel.npix2nside(np.asarray(fmap).shape[-1])
     lmax = 3 * nside - 1
-    alm = map2alm(jnp.asarray(fmap), lmax, iter)
+    alm = map2alm(_put(fmap), lmax, iter)
     return alm2map(smoothalm(alm, fwhm), nside)

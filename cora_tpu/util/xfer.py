@@ -50,6 +50,10 @@ def put(x, device=None):
     Complex input is shipped as a float32/float64 (re, im) pair; large
     real input is chunked.  Returns a committed device array.
     """
+    if isinstance(x, jax.Array):
+        # Already on device — fetching it back to re-ship can itself hit
+        # the broken complex D2H path; leave it where it is.
+        return x
     x = np.asarray(x)
     if np.iscomplexobj(x):
         ftype = np.float32 if x.dtype == np.complex64 else np.float64
