@@ -38,7 +38,7 @@ def main():
 
     from cora_tpu.signal.corr21cm import Corr21cm
     from cora_tpu.signal import clfast
-    from cora_tpu.healpix.sht import SHT, _synthesis_grid
+    from cora_tpu.healpix.sht import SHT, synthesis_grid_correlated
     from cora_tpu.util import xfer
 
     nside, nfreq = args.nside, args.nfreq
@@ -70,36 +70,23 @@ def main():
     roots_d = xfer.put(roots)
     print(f"# SHT tables setup+transfer: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    fchunk = args.fchunk
+    fchunk = min(args.fchunk, nfreq)
+    nchunk = (nfreq + fchunk - 1) // fchunk
 
-    # timed step: draw alm for all freq, then per-chunk grid synthesis;
-    # returns a scalar so the tunnel never ships the cube
-    # n.b. roots/mask enter as jit ARGUMENTS: closure-captured device arrays
-    # would be inlined as MLIR constants (slow compile + device fetch).
+    # timed step: ONE jitted program — fused correlated draw + streaming
+    # Legendre contraction + foldless Bluestein ring synthesis per frequency
+    # chunk, accumulated to a scalar on device (a single fetch per step;
+    # the full alm cube never materialises in HBM).
     @jax.jit
-    def draw(key, r):
-        kr, ki = jax.random.split(key)
-        shape = (L, nfreq, L)
-        mmask = (jnp.arange(L)[None, :] <= jnp.arange(L)[:, None]).astype(jnp.float32)
-        xi = (
-            jax.random.normal(kr, shape, jnp.float32)
-            + 1j * jax.random.normal(ki, shape, jnp.float32)
-        ) * (0.70710678 * mmask[:, None, :])
-        alm = jnp.einsum("lzy,lym->lzm", r.astype(jnp.complex64), xi)
-        return jnp.moveaxis(alm, 0, 1)  # [nz, L, M]
+    def step_fn(key, r, t):
+        def body(i, acc):
+            g = synthesis_grid_correlated(op, t, r, key, i * fchunk, fchunk)
+            return acc + jnp.sum(jnp.abs(g))
 
-    @jax.jit
-    def synth_chunk(alm_chunk, t):
-        g = _synthesis_grid(op, t, alm_chunk)
-        return g, jnp.sum(jnp.abs(g))
+        return jax.lax.fori_loop(0, nchunk, body, jnp.float32(0.0))
 
     def step(key):
-        alm = draw(key, roots_d)
-        acc = 0.0
-        for i in range(0, nfreq, fchunk):
-            g, s = synth_chunk(alm[i : i + fchunk], sht_tables)
-            acc += float(s)
-        return acc
+        return float(step_fn(key, roots_d, sht_tables))
 
     t0 = time.time()
     s = step(jax.random.PRNGKey(0))

@@ -87,6 +87,90 @@ def _legendre_contract_cached(op, t, alm):
     )
 
 
+def _legendre_contract_streamed(op, t, alm_block_fn, batch_shape, dtype):
+    """Streaming variant of :func:`_legendre_contract_cached`.
+
+    The alm rows for each ℓ-chunk are produced on the fly by
+    ``alm_block_fn(c, l_lo, l_hi) -> [..., l_hi-l_lo, L]`` so the full
+    [..., L, L] alm array never materialises in HBM — this is what makes
+    the Nside=512 × 256-channel cube fit on one 16 GB chip (the alm cube
+    alone is 4.8 GB and its draw temporaries triple that).
+    """
+    L = op.lmax + 1
+    nh = op.nhalf
+    lc = op.l_chunk
+    midx = jnp.arange(L)[None, :]
+
+    Ge = jnp.zeros(batch_shape + (nh, L), dtype=dtype)
+    Go = jnp.zeros_like(Ge)
+
+    for c, lam_c in enumerate(t["lam"]):
+        l_lo = c * lc
+        l_hi = min(L, l_lo + lc)
+        mw = min(lam_c.shape[-1], L)
+        alm_blk = alm_block_fn(c, l_lo, l_hi)[..., :mw]
+        lidx = jnp.arange(l_lo, l_hi)[:, None]
+        mm = (midx[:, :mw] <= lidx).astype(alm_blk.real.dtype)
+        em = ((lidx + midx[:, :mw]) % 2 == 0).astype(alm_blk.real.dtype) * mm
+        om = (1.0 - ((lidx + midx[:, :mw]) % 2 == 0)).astype(
+            alm_blk.real.dtype
+        ) * mm
+        lam = lam_c[: l_hi - l_lo, :, :mw].astype(alm_blk.real.dtype)
+        Ge = Ge.at[..., :mw].add(jnp.einsum("lrm,...lm->...rm", lam, alm_blk * em))
+        Go = Go.at[..., :mw].add(jnp.einsum("lrm,...lm->...rm", lam, alm_blk * om))
+
+    Gn = Ge + Go
+    Gs = Ge - Go
+    north = jnp.arange(op.nring) < nh
+    return jnp.where(
+        north[:, None], Gn[..., t["north_idx"], :], Gs[..., t["mirror"], :]
+    )
+
+
+def synthesis_grid_correlated(op, t, roots, key, z_lo, nz_chunk):
+    """Fused correlated-draw + synthesis for one frequency chunk.
+
+    Draws the correlated a_lm for frequencies [z_lo, z_lo+nz_chunk) from
+    per-ℓ covariance roots and synthesizes the dense ring-grid maps in one
+    streaming program: the ξ white-noise blocks are regenerated per ℓ-chunk
+    from ``fold_in(key, chunk)`` (identical across frequency chunks, so the
+    full cube is drawn from one consistent realisation), contracted with
+    the chunk's rows of ``roots``, and fed straight into the Legendre
+    contraction (reference behaviour: skysim.py:72-136 mkfullsky, but
+    without ever materialising alm[nz, L, M]).
+
+    Parameters
+    ----------
+    roots : [L, nz, nz] real matrix roots of C_l.
+    z_lo : traced int — first frequency of the chunk.
+    nz_chunk : static int — chunk width.
+    """
+    from jax import lax
+
+    L = op.lmax + 1
+    nz = roots.shape[-1]
+
+    def alm_blk(c, l_lo, l_hi):
+        lb = l_hi - l_lo
+        kc = jax.random.fold_in(key, c)
+        kr, ki = jax.random.split(kc)
+        shape = (lb, nz, L)
+        xi = (
+            jax.random.normal(kr, shape, jnp.float32)
+            + 1j * jax.random.normal(ki, shape, jnp.float32)
+        ) * jnp.asarray(0.70710678, jnp.float32)
+        rblk = lax.dynamic_slice(
+            roots, (l_lo, z_lo, 0), (lb, nz_chunk, nz)
+        ).astype(jnp.complex64)
+        a = jnp.einsum("lzy,lym->lzm", rblk, xi)
+        return jnp.moveaxis(a, 0, 1)  # [nz_chunk, lb, M]
+
+    G = _legendre_contract_streamed(
+        op, t, alm_blk, (nz_chunk,), jnp.complex64
+    )
+    return _rings_to_grid(op, t, G)
+
+
 def _legendre_project_cached(op, t, G):
     """Adjoint: alm[..., l, m] = Σ_r λ_lm(θ_r) G[..., r, m], cached-Λ path."""
     L = op.lmax + 1
