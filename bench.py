@@ -21,14 +21,60 @@ import jax
 import jax.numpy as jnp
 
 
+LADDER = [
+    # (nside, nfreq, fchunk, subprocess timeout s) — largest first; the
+    # orchestrator emits the JSON line of the largest config that completes
+    # (the axon TPU service can fail transiently; see tools/ probes).
+    (512, 256, 16, 1700),
+    (256, 64, 16, 700),
+    (128, 32, 16, 600),
+    (64, 32, 16, 500),
+]
+
+
+def orchestrate():
+    """Run the ladder in worker subprocesses; print the first JSON result."""
+    import subprocess
+
+    for nside, nfreq, fchunk, tmo in LADDER:
+        cmd = [
+            sys.executable, __file__,
+            "--nside", str(nside), "--nfreq", str(nfreq),
+            "--fchunk", str(fchunk), "--repeats", "2",
+        ]
+        print(f"# trying Nside={nside} x {nfreq} (timeout {tmo}s)",
+              file=sys.stderr)
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True, timeout=tmo)
+        except subprocess.TimeoutExpired:
+            print(f"# Nside={nside}: timeout", file=sys.stderr)
+            continue
+        sys.stderr.write(r.stderr)
+        line = next(
+            (ln for ln in r.stdout.splitlines() if ln.startswith("{")), None
+        )
+        if r.returncode == 0 and line:
+            print(line)
+            return
+        print(f"# Nside={nside}: exit={r.returncode}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "full 21cm cube synth", "value": -1.0, "unit": "s",
+        "vs_baseline": 0.0,
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--nside", type=int, default=512)
+    p.add_argument("--nside", type=int, default=None)
     p.add_argument("--nfreq", type=int, default=256)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--fchunk", type=int, default=32)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
+
+    if args.nside is None:
+        orchestrate()
+        return
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
