@@ -9,6 +9,7 @@ XLA inserts the all-to-all collectives over ICI.
 from .mesh import (  # noqa: F401
     make_mesh,
     mkfullsky_sharded,
+    synthesize_cube_sharded,
     shard_over,
     redistribute,
 )

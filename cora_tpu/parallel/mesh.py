@@ -86,3 +86,71 @@ def mkfullsky_sharded(corr, nside, lmax, key, mesh, dtype=jnp.complex64):
 
     with mesh:
         return _run(jnp.asarray(corr), key)
+
+
+def synthesize_cube_sharded(
+    op, tables, roots, key, mesh, fchunk=None, mesh_axis="freq"
+):
+    """Streamed correlated synthesis sharded over frequency.
+
+    Multi-chip form of :func:`cora_tpu.healpix.sht.synthesis_grid_correlated`
+    built with ``shard_map``: every device regenerates the identical per-ℓ
+    white-noise blocks from the same key (RNG is cheap and deterministic)
+    and contracts only its own rows of the covariance roots — so the
+    frequency axis scales with zero inter-chip communication (the
+    reference needs an MPI all-to-all here, skysim.py:128; streaming the
+    draw removes it entirely).
+
+    Parameters
+    ----------
+    op, tables : SHT operator (cached legendre mode) and its device tables.
+    roots : [L, nz, nz] real per-ell covariance roots; nz must be divisible
+        by mesh size.
+    fchunk : frequencies synthesized per inner step on each device.
+
+    Returns
+    -------
+    [nz, nring, nq_max] dense ring-grid cube, sharded over frequency.
+    """
+    from functools import partial
+    from jax.experimental.shard_map import shard_map
+    from ..healpix.sht import synthesis_grid_correlated
+
+    n_dev = mesh.shape[mesh_axis]
+    L, _, nz = roots.shape
+    if nz % n_dev:
+        raise ValueError(f"nz={nz} not divisible by mesh size {n_dev}")
+    nloc = nz // n_dev
+    fchunk = min(fchunk or nloc, nloc)
+    nchunk = (nloc + fchunk - 1) // fchunk
+
+    spec_r = P(None, mesh_axis, None)  # roots sharded over the z-row axis
+    spec_o = P(mesh_axis, None, None)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_r, P()),
+        out_specs=spec_o,
+        check_rep=False,
+    )
+    def _local(roots_rows, key):
+        # roots_rows: [L, nloc, nz] — this device's output frequencies.
+        def body(i, acc):
+            g = synthesis_grid_correlated(
+                op, tables, roots_rows, key, i * fchunk, fchunk
+            )
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, g, i * fchunk, axis=0
+            )
+
+        nring = 4 * op.nside - 1
+        nq = tables["bl_C"].shape[-1]
+        out = jnp.zeros((nloc, nring, nq), jnp.float32)
+        return jax.lax.fori_loop(0, nchunk, body, out)
+
+    with mesh:
+        roots_d = jax.device_put(
+            jnp.asarray(roots), NamedSharding(mesh, spec_r)
+        )
+        return jax.jit(_local)(roots_d, key)

@@ -68,3 +68,31 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@requires_multi
+def test_synthesize_cube_sharded_matches_streamed():
+    from cora_tpu.healpix.sht import SHT, synthesis_grid_correlated
+    from cora_tpu.parallel.mesh import synthesize_cube_sharded
+
+    nside, nz = 16, 16
+    lmax = 3 * nside - 1
+    op = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm", l_chunk=16)
+    t = op.tables(False)
+    rng = np.random.RandomState(0)
+    roots = rng.randn(lmax + 1, nz, nz).astype(np.float32) * 0.1
+    key = jax.random.PRNGKey(5)
+
+    mesh = make_mesh(8)
+    cube8 = np.asarray(synthesize_cube_sharded(op, t, roots, key, mesh, fchunk=2))
+    ref = np.concatenate(
+        [
+            np.asarray(
+                synthesis_grid_correlated(op, t, jnp.asarray(roots), key, i, 2)
+            )
+            for i in range(0, nz, 2)
+        ],
+        axis=0,
+    )
+    assert cube8.shape == ref.shape
+    assert np.abs(cube8 - ref).max() == 0.0
