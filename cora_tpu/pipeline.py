@@ -211,16 +211,20 @@ class Pipeline:
             save_to = spec.get("save", None)
 
             # drive process()
+            from .util.profiling import timed
+
             outputs = []
             try:
                 if in_keys:
                     streams = [list(products.get(k, [])) for k in in_keys]
                     for items in zip(*streams):
-                        outputs.append(task.process(*items))
+                        with timed(f"{spec['type']}.process", count=task._count):
+                            outputs.append(task.process(*items))
                         task._count += 1
                 else:
                     while True:
-                        outputs.append(task.process())
+                        with timed(f"{spec['type']}.process", count=task._count):
+                            outputs.append(task.process())
                         task._count += 1
                         if getattr(task, "done", False):
                             break
