@@ -528,6 +528,7 @@ class SHT:
         legendre_mode: str = "scan",
         cache_dtype=np.float32,
         fft_mode: str = "xla",
+        lambda_cache: str | None = None,
     ):
         self.nside = int(nside)
         self.lmax = int(lmax)
@@ -662,7 +663,7 @@ class SHT:
 
         self._lam_host = None
         if legendre_mode == "cached":
-            self._lam_host = self._build_lambda_cache()
+            self._lam_host = self._load_or_build_lambda(lambda_cache)
 
         # device table cache per precision
         self._dev_tables = {}
@@ -675,6 +676,44 @@ class SHT:
         return self is other
 
     # ------------------------------------------------------------------
+
+    def _load_or_build_lambda(self, cache_path):
+        """Λ weight chunks, loaded from an on-disk cache when available.
+
+        The float64 recurrence is the dominant host setup cost at large
+        Nside (~2 min at Nside=512); the chunks are pure functions of
+        (nside, lmax, l_chunk, cache_dtype) so they are safe to persist —
+        the transform's "weights checkpoint".
+        """
+        import os
+
+        if cache_path:
+            meta = np.array(
+                [self.nside, self.lmax, self.l_chunk], dtype=np.int64
+            )
+            if os.path.exists(cache_path):
+                try:
+                    d = np.load(cache_path)
+                    if np.array_equal(d["meta"], meta) and str(
+                        d["dtype"]
+                    ) == np.dtype(self.cache_dtype).name:
+                        n = int(d["n"])
+                        return [d[f"lam{i}"] for i in range(n)]
+                except Exception:
+                    pass
+            lam = self._build_lambda_cache()
+            try:
+                np.savez(
+                    cache_path,
+                    meta=meta,
+                    dtype=np.dtype(self.cache_dtype).name,
+                    n=len(lam),
+                    **{f"lam{i}": c for i, c in enumerate(lam)},
+                )
+            except Exception:
+                pass
+            return lam
+        return self._build_lambda_cache()
 
     def _build_lambda_cache(self):
         """Host float64 recurrence → float32 ragged Λ l-chunks.
