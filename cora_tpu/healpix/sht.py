@@ -409,6 +409,8 @@ def _fft2_last(op, t, x, inverse=False):
 def _rings_to_grid(op, t, G):
     """Dense ring-grid synthesis: S[..., r, j] for j < n_r via generalized
     Bluestein (M inputs -> n_r outputs; no scatter, no gather)."""
+    if op.ring_mode == "split" and "eq_phase" in t:
+        return _rings_to_grid_split(op, t, G)
     cdtype = G.dtype
     nq_max = t["bl_C"].shape[-1]
 
@@ -428,6 +430,8 @@ def _rings_to_grid(op, t, G):
 def _grid_to_rings(op, t, fgrid, cdtype):
     """Adjoint: G[..., r, m] = sum_j f[r, j] e^{-i m phi_j} from the dense
     ring grid (chirp-z with n_r inputs and M outputs)."""
+    if op.ring_mode == "split" and "eq_phase" in t:
+        return _grid_to_rings_split(op, t, fgrid, cdtype)
     L = op.lmax + 1
     a = fgrid.astype(cdtype) * jnp.conj(t["bl_C"]).astype(cdtype)
     pad = op.nfft2 - a.shape[-1]
@@ -438,6 +442,104 @@ def _grid_to_rings(op, t, fgrid, cdtype):
     )
     # the conjugate-chirp convolution evaluates at integer m positions
     return conv[..., :L] * jnp.conj(t["bl_A"]).astype(cdtype)
+
+
+def _fftW_last(op, t, x, inverse=False):
+    """(I)FFT at the equatorial ring length W = 4·nside."""
+    if op.fft_mode == "mm":
+        n1, n2 = op._fftW_n1n2
+        key = "ifftW" if inverse else "fftW"
+        tab = {"W1": t[key + "W1"], "T": t[key + "T"], "W2": t[key + "W2"]}
+        y = fftmm._apply(x, tab, n1, n2)
+        return y / (4 * op.nside) if inverse else y
+    if inverse:
+        return jnp.fft.ifft(x, axis=-1)
+    return jnp.fft.fft(x, axis=-1)
+
+
+def _rings_to_grid_split(op, t, G):
+    """Ring synthesis with the equatorial fast path.
+
+    The 2·nside+1 equatorial-band rings all have length W = 4·nside and
+    account for ~⅔ of the pixels; their DFTs run as ONE batched
+    matmul-IFFT at W (phases e^{imφ0} folded in, m aliased mod W) —
+    ¼ the work of the padded Bluestein convolution, which now covers
+    only the polar-cap rings.
+    """
+    cdtype = G.dtype
+    lo, hi = op._eq_lo, op._eq_hi
+    W = 4 * op.nside
+    nq_max = t["bl_C"].shape[-1]
+
+    # --- equatorial band: direct inverse DFT at W
+    A = G[..., lo:hi, :] * t["eq_phase"].astype(cdtype)
+    Lp = A.shape[-1]
+    if Lp % W:
+        A = jnp.pad(A, [(0, 0)] * (A.ndim - 1) + [(0, W - Lp % W)])
+    A = A.reshape(A.shape[:-1] + (-1, W)).sum(axis=-2)  # alias m mod W
+    Seq = _fftW_last(op, t, A, inverse=True) * W
+    feq = 2.0 * Seq.real - G[..., lo:hi, 0:1].real
+    if nq_max > W:
+        feq = jnp.pad(feq, [(0, 0)] * (feq.ndim - 1) + [(0, nq_max - W)])
+
+    if lo == 0 and hi == op.nring:
+        return feq
+
+    # --- polar caps: generalized Bluestein on the cap rows only
+    Gcap = jnp.concatenate([G[..., :lo, :], G[..., hi:, :]], axis=-2)
+    a = Gcap * t["bl_A_cap"].astype(cdtype)
+    pad = op.nfft2 - a.shape[-1]
+    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+    conv = _fft2_last(
+        op, t, _fft2_last(op, t, a) * t["bl_Bf_cap"].astype(cdtype),
+        inverse=True,
+    )
+    nq_cap = t["bl_C_cap"].shape[-1]
+    S = conv[..., :nq_cap] * t["bl_C_cap"].astype(cdtype)
+    valid = (t["bl_C_cap"] != 0.0).astype(S.real.dtype)
+    fcap = 2.0 * S.real - Gcap[..., 0:1].real * valid
+    if nq_max > nq_cap:
+        fcap = jnp.pad(fcap, [(0, 0)] * (fcap.ndim - 1) + [(0, nq_max - nq_cap)])
+
+    return jnp.concatenate(
+        [fcap[..., :lo, :], feq, fcap[..., lo:, :]], axis=-2
+    )
+
+
+def _grid_to_rings_split(op, t, fgrid, cdtype):
+    """Adjoint of :func:`_rings_to_grid_split`."""
+    lo, hi = op._eq_lo, op._eq_hi
+    W = 4 * op.nside
+    L = op.lmax + 1
+
+    # --- equatorial band: forward DFT at W, replicate bins for m >= W
+    feq = fgrid[..., lo:hi, :W].astype(cdtype)
+    F = _fftW_last(op, t, feq, inverse=False)
+    reps = -(-L // W)
+    if reps > 1:
+        F = jnp.tile(F, (1,) * (F.ndim - 1) + (reps,))
+    Geq = F[..., :L] * jnp.conj(t["eq_phase"]).astype(cdtype)
+
+    if lo == 0 and hi == op.nring:
+        return Geq
+
+    # --- polar caps: conjugate-chirp Bluestein on cap rows
+    nq_cap = t["bl_C_cap"].shape[-1]
+    fcap = jnp.concatenate(
+        [fgrid[..., :lo, :], fgrid[..., hi:, :]], axis=-2
+    )[..., :nq_cap]
+    a = fcap.astype(cdtype) * jnp.conj(t["bl_C_cap"]).astype(cdtype)
+    pad = op.nfft2 - a.shape[-1]
+    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+    conv = _fft2_last(
+        op, t, _fft2_last(op, t, a) * jnp.conj(t["bl_Bf_cap"]).astype(cdtype),
+        inverse=True,
+    )
+    Gcap = conv[..., :L] * jnp.conj(t["bl_A_cap"]).astype(cdtype)
+
+    return jnp.concatenate(
+        [Gcap[..., :lo, :], Geq, Gcap[..., lo:, :]], axis=-2
+    )
 
 
 def _synthesis_grid(op, t, alm):
@@ -528,6 +630,7 @@ class SHT:
         legendre_mode: str = "scan",
         cache_dtype=np.float32,
         fft_mode: str = "xla",
+        ring_mode: str = "split",
         lambda_cache: str | None = None,
     ):
         self.nside = int(nside)
@@ -537,6 +640,7 @@ class SHT:
         self.legendre_mode = legendre_mode
         self.cache_dtype = cache_dtype
         self.fft_mode = fft_mode
+        self.ring_mode = ring_mode
 
         info = pixel.ring_info(nside)
         nring = info["theta"].size
@@ -648,6 +752,34 @@ class SHT:
         self._bl_Bf = np.fft.fft(c2, axis=-1)
         self._fftmm2_tabs = fftmm.dft_tables(nfft2, dtype=np.complex128)
         self._fft2_n1n2 = self._fftmm2_tabs["n1n2"]
+
+        # --- equatorial-band fast path (ring_mode="split"): the contiguous
+        # run of rings with n_r == 4*nside skips Bluestein entirely — one
+        # batched (I)DFT at W with phases folded in; the padded chirp
+        # convolution then covers only the polar caps (~1/3 of pixels).
+        W = 4 * self.nside
+        eqmask = self._nq == W
+        if eqmask.any():
+            self._eq_lo = int(np.argmax(eqmask))
+            self._eq_hi = int(len(eqmask) - np.argmax(eqmask[::-1]))
+        else:  # degenerate; never true for HEALPix
+            self._eq_lo = self._eq_hi = 0
+        self._eq_phase = np.exp(
+            1j
+            * np.arange(L)[None, :]
+            * self._phi0[self._eq_lo : self._eq_hi, None]
+        )
+        self._fftmmW_tabs = fftmm.dft_tables(W, dtype=np.complex128)
+        self._fftW_n1n2 = self._fftmmW_tabs["n1n2"]
+        lo, hi = self._eq_lo, self._eq_hi
+        nq_cap = int(self._nq[: lo].max()) if lo else 0
+        self._bl_A_cap = np.concatenate([self._bl_A[:lo], self._bl_A[hi:]], 0)
+        self._bl_C_cap = np.concatenate(
+            [self._bl_C[:lo, :max(nq_cap, 1)], self._bl_C[hi:, :max(nq_cap, 1)]], 0
+        )
+        self._bl_Bf_cap = np.concatenate(
+            [self._bl_Bf[:lo], self._bl_Bf[hi:]], 0
+        )
 
         r_of_pix = np.repeat(np.arange(nring), self._nq)
         self._r_of_pix = r_of_pix.astype(np.int32)
@@ -800,6 +932,14 @@ class SHT:
         t["bl_A"] = put(self._bl_A.astype(cdt))
         t["bl_C"] = put(self._bl_C.astype(cdt))
         t["bl_Bf"] = put(self._bl_Bf.astype(cdt))
+        if self.ring_mode == "split":
+            t["eq_phase"] = put(self._eq_phase.astype(cdt))
+            t["bl_A_cap"] = put(self._bl_A_cap.astype(cdt))
+            t["bl_C_cap"] = put(self._bl_C_cap.astype(cdt))
+            t["bl_Bf_cap"] = put(self._bl_Bf_cap.astype(cdt))
+            for key, tab in [("fftW", "fwd"), ("ifftW", "inv")]:
+                for nm in ("W1", "T", "W2"):
+                    t[key + nm] = put(self._fftmmW_tabs[tab][nm].astype(cdt))
         for key, tab in [("fft2", "fwd"), ("ifft2", "inv")]:
             for nm in ("W1", "T", "W2"):
                 t[key + nm] = put(self._fftmm2_tabs[tab][nm].astype(cdt))
