@@ -66,6 +66,8 @@ def get_lib():
         lib.grid_to_pixels_f64.argtypes = [p_d, p_d, p_i, p_i, i64, i64, i64, i64]
         lib.pixels_to_grid_f64.argtypes = [p_d, p_d, p_i, p_i, i64, i64, i64, i64]
         lib.paint_sources.argtypes = [p_i, p_d, p_d, i64, i64, i64]
+        lib.spline_eval_f64.argtypes = [p_d, p_d, p_d, p_d, p_d, i64, i64]
+        lib.spline_eval_log_f64.argtypes = [p_d, p_d, p_d, p_d, p_d, i64, i64]
 
         _lib = lib
     except Exception as exc:  # pragma: no cover - build environment dependent
@@ -191,3 +193,35 @@ def _pix_index(start, nq, npix):
     r_of = np.repeat(np.arange(nring), nq)
     j_of = np.arange(npix) - np.asarray(start)[r_of]
     return r_of, j_of
+
+
+def spline_eval(x_grid, y_grid, y2, pts):
+    """Native natural-cubic-spline evaluation; returns None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, dtype=np.float64)
+    out = np.empty(pts.shape, dtype=np.float64)
+    lib.spline_eval_f64(
+        np.ascontiguousarray(x_grid, np.float64),
+        np.ascontiguousarray(y_grid, np.float64),
+        np.ascontiguousarray(y2, np.float64),
+        pts.ravel(), out.ravel(), len(x_grid), pts.size,
+    )
+    return out
+
+
+def spline_eval_log(x_grid_log, y_grid_log, y2, pts):
+    """Native fused exp(spline(log x)) evaluation; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, dtype=np.float64)
+    out = np.empty(pts.shape, dtype=np.float64)
+    lib.spline_eval_log_f64(
+        np.ascontiguousarray(x_grid_log, np.float64),
+        np.ascontiguousarray(y_grid_log, np.float64),
+        np.ascontiguousarray(y2, np.float64),
+        pts.ravel(), out.ravel(), len(x_grid_log), pts.size,
+    )
+    return out

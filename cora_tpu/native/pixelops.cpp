@@ -191,4 +191,79 @@ void paint_sources(const int64_t *pix, const double *spectra, double *sky,
   }
 }
 
+
+// --- natural cubic spline evaluation (reference cubicspline.pyx:107-175):
+// binary search per point, linear extrapolation at both ends.  This is the
+// inner loop of every host-side physics-table evaluation (P(k) grids etc.)
+static inline int64_t bisect_right(const double *xg, int64_t n, double v) {
+  int64_t lo = 0, hi = n;
+  while (lo < hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (v < xg[mid]) hi = mid; else lo = mid + 1;
+  }
+  return lo;
+}
+
+void spline_eval_f64(const double *xg, const double *yg, const double *y2,
+                     const double *pts, double *out, int64_t n, int64_t npts) {
+  const double h0 = xg[1] - xg[0];
+  const double s0 = (yg[1] - yg[0]) / h0 - h0 * y2[1] / 6.0;
+  const double h1 = xg[n - 1] - xg[n - 2];
+  const double s1 = (yg[n - 1] - yg[n - 2]) / h1 + h1 * y2[n - 2] / 6.0;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < npts; ++i) {
+    const double x = pts[i];
+    if (x < xg[0]) {
+      out[i] = s0 * (x - xg[0]) + yg[0];
+    } else if (x >= xg[n - 1]) {
+      out[i] = s1 * (x - xg[n - 1]) + yg[n - 1];
+    } else {
+      int64_t kl = bisect_right(xg, n, x) - 1;
+      if (kl < 0) kl = 0;
+      if (kl > n - 2) kl = n - 2;
+      const int64_t kh = kl + 1;
+      const double h = xg[kh] - xg[kl];
+      const double a = (xg[kh] - x) / h;
+      const double b = (x - xg[kl]) / h;
+      const double c = (a * a * a - a) * h * h / 6.0;
+      const double d = (b * b * b - b) * h * h / 6.0;
+      out[i] = a * yg[kl] + b * yg[kh] + c * y2[kl] + d * y2[kh];
+    }
+  }
+}
+
+// log-space variant: exp(spline(log x)), with x<=0 -> 0 (LogSpline semantics)
+void spline_eval_log_f64(const double *xg, const double *yg, const double *y2,
+                         const double *pts, double *out, int64_t n,
+                         int64_t npts) {
+  const double h0 = xg[1] - xg[0];
+  const double s0 = (yg[1] - yg[0]) / h0 - h0 * y2[1] / 6.0;
+  const double h1 = xg[n - 1] - xg[n - 2];
+  const double s1 = (yg[n - 1] - yg[n - 2]) / h1 + h1 * y2[n - 2] / 6.0;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < npts; ++i) {
+    const double xin = pts[i];
+    if (!(xin > 0.0)) { out[i] = 0.0; continue; }
+    const double x = log(xin);
+    double v;
+    if (x < xg[0]) {
+      v = s0 * (x - xg[0]) + yg[0];
+    } else if (x >= xg[n - 1]) {
+      v = s1 * (x - xg[n - 1]) + yg[n - 1];
+    } else {
+      int64_t kl = bisect_right(xg, n, x) - 1;
+      if (kl < 0) kl = 0;
+      if (kl > n - 2) kl = n - 2;
+      const int64_t kh = kl + 1;
+      const double h = xg[kh] - xg[kl];
+      const double a = (xg[kh] - x) / h;
+      const double b = (x - xg[kl]) / h;
+      const double c = (a * a * a - a) * h * h / 6.0;
+      const double d = (b * b * b - b) * h * h / 6.0;
+      v = a * yg[kl] + b * yg[kh] + c * y2[kl] + d * y2[kh];
+    }
+    out[i] = exp(v);
+  }
+}
+
 }  // extern "C"

@@ -86,6 +86,15 @@ def spline_eval_np(x_grid, y_grid, y2, x):
     scalar = np.isscalar(x) or (isinstance(x, np.ndarray) and x.ndim == 0)
     x = np.atleast_1d(np.asarray(x, dtype=np.float64))
 
+    if x.size >= 4096:
+        # large batches go through the native C++ kernel (same semantics,
+        # single fused pass; reference uses Cython+OpenMP here)
+        from .. import native
+
+        out = native.spline_eval(x_grid, y_grid, y2, x)
+        if out is not None:
+            return out
+
     n = x_grid.shape[0]
     with np.errstate(invalid="ignore", over="ignore"):
         kl = np.clip(np.searchsorted(x_grid, x, side="right") - 1, 0, n - 2)
@@ -257,11 +266,22 @@ class LogSpline:
 
     def value(self, x):
         if _is_host_value(x):
-            return np.exp(
-                spline_eval_np(
-                    self._spline.x, self._spline.y, self._spline.y2, np.log(x)
+            xa = np.asarray(x, dtype=np.float64)
+            if xa.size >= 4096 and xa.ndim and np.all(xa > 0):
+                from .. import native
+
+                out = native.spline_eval_log(
+                    self._spline.x, self._spline.y, self._spline.y2, xa
                 )
-            )
+                if out is not None:
+                    return out
+            with np.errstate(divide="ignore"):
+                return np.exp(
+                    spline_eval_np(
+                        self._spline.x, self._spline.y, self._spline.y2,
+                        np.log(xa),
+                    )
+                )
         return jnp.exp(self._spline.value(jnp.log(x)))
 
     def __call__(self, x):
