@@ -144,3 +144,72 @@ def test_alm2map_der1():
     c = -np.sqrt(3.0 / (8.0 * np.pi))
     dth_exp = 2 * np.real(a * c * np.cos(th) * np.exp(1j * ph))
     assert np.abs(dth - dth_exp).max() < 1e-12
+
+def test_streamed_correlated_synthesis_matches_explicit():
+    """The fused streaming draw+synthesis must equal drawing the same alm
+    explicitly (same fold_in scheme) and synthesizing."""
+    import jax
+    from cora_tpu.healpix.sht import SHT, _synthesis_grid, synthesis_grid_correlated
+
+    nside, nz, fchunk = 16, 8, 4
+    lmax = 3 * nside - 1
+    L = lmax + 1
+    op = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm", l_chunk=16)
+    t = op.tables(False)
+    rng = np.random.RandomState(0)
+    roots = jnp.asarray(rng.randn(L, nz, nz).astype(np.float32) * 0.1)
+    key = jax.random.PRNGKey(3)
+
+    lc = op.l_chunk
+    blocks = []
+    for c in range((L + lc - 1) // lc):
+        l_lo, l_hi = c * lc, min(L, (c + 1) * lc)
+        kc = jax.random.fold_in(key, c)
+        kr, ki = jax.random.split(kc)
+        xi = (
+            jax.random.normal(kr, (l_hi - l_lo, nz, L), jnp.float32)
+            + 1j * jax.random.normal(ki, (l_hi - l_lo, nz, L), jnp.float32)
+        ) * 0.70710678
+        blocks.append(
+            jnp.einsum("lzy,lym->lzm", roots[l_lo:l_hi].astype(jnp.complex64), xi)
+        )
+    alm = jnp.concatenate(blocks, 0)
+    alm = alm * (jnp.arange(L)[None, :] <= jnp.arange(L)[:, None])[:, None, :]
+    alm = jnp.moveaxis(alm, 0, 1)
+    ref = np.asarray(_synthesis_grid(op, t, alm.astype(jnp.complex64)))
+
+    out = np.concatenate(
+        [
+            np.asarray(synthesis_grid_correlated(op, t, roots, key, i, fchunk))
+            for i in range(0, nz, fchunk)
+        ],
+        axis=0,
+    )
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() < 1e-5
+
+
+def test_split_ring_mode_matches_bluestein():
+    """Equatorial fast path must equal the all-Bluestein ring stage."""
+    from cora_tpu.healpix.sht import SHT, _synthesis_grid, _grid_to_rings
+
+    nside = 16
+    lmax = 3 * nside - 1
+    L = lmax + 1
+    rng = np.random.RandomState(1)
+    alm = (rng.randn(2, L, L) + 1j * rng.randn(2, L, L)) * (
+        np.arange(L)[None, None, :] <= np.arange(L)[None, :, None]
+    )
+    op_b = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm",
+               ring_mode="bluestein")
+    op_s = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm",
+               ring_mode="split")
+    tb, ts = op_b.tables(True), op_s.tables(True)
+    gb = np.asarray(_synthesis_grid(op_b, tb, jnp.asarray(alm)))
+    gs = np.asarray(_synthesis_grid(op_s, ts, jnp.asarray(alm)))
+    assert np.abs(gb - gs).max() < 1e-11 * np.abs(gb).max()
+
+    fg = rng.randn(2, op_b.nring, tb["bl_C"].shape[-1])
+    Gb = np.asarray(_grid_to_rings(op_b, tb, jnp.asarray(fg), jnp.complex128))
+    Gs = np.asarray(_grid_to_rings(op_s, ts, jnp.asarray(fg), jnp.complex128))
+    assert np.abs(Gb - Gs).max() < 1e-11 * np.abs(Gb).max()
