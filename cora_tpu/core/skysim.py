@@ -163,8 +163,34 @@ def mkfullsky(corr, nside, alms=False, key=None, rng=None, dtype=jnp.complex128)
     if alms:
         return np.asarray(alm)
 
-    sky = _sht.alm2map(alm, nside)
-    return np.asarray(sky)
+    return alm2map_pixel_safe(alm, nside)
+
+
+def alm2map_pixel_safe(alm, nside):
+    """alm → HEALPix-pixel maps, avoiding large device gathers.
+
+    On CPU this is plain ``alm2map``.  On accelerator backends the
+    pixel-order gather is the one op that scales with npix and breaks the
+    tunnelled TPU runtime above ~60k indices — so the synthesis stays in
+    the dense ring-grid layout on device and the pixel reordering runs in
+    the native C++ host library (cora_tpu.native.grid_to_pixels).
+    """
+    if jax.default_backend() == "cpu":
+        return np.asarray(_sht.alm2map(alm, nside))
+
+    from .. import native
+    from ..healpix import pixel as _pixel
+    from ..healpix.sht import _synthesis_grid, get_sht
+
+    alm = jnp.asarray(alm)
+    lmax = alm.shape[-2] - 1
+    op = get_sht(int(nside), int(lmax))
+    grid = np.asarray(_synthesis_grid(op, op.tables(False), alm))
+    info = _pixel.ring_info(int(nside))
+    return native.grid_to_pixels(
+        grid, info["start"].astype(np.int64), info["nphi"].astype(np.int64),
+        _pixel.nside2npix(int(nside)),
+    )
 
 
 def mkfullsky_jit(corr, nside, lmax, key, dtype=jnp.complex64):
