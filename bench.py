@@ -25,8 +25,8 @@ LADDER = [
     # (nside, nfreq, fchunk, subprocess timeout s) — largest first; the
     # orchestrator emits the JSON line of the largest config that completes
     # (the axon TPU service can fail transiently; see tools/ probes).
-    (512, 256, 16, 1700),
-    (256, 64, 16, 700),
+    (512, 256, 32, 1700),
+    (256, 64, 32, 700),
     (128, 32, 16, 600),
     (64, 32, 16, 500),
 ]

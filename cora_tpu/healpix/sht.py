@@ -54,30 +54,39 @@ def _next_fft_size(n):
 
 
 def _legendre_contract_cached(op, t, alm):
-    """G[..., ring, m] = Σ_l alm[..., l, m] λ_lm(θ_ring), cached-Λ path."""
+    """G[..., ring, m] = Σ_l alm[..., l, m] λ_lm(θ_ring), cached-Λ path.
+
+    Λ chunks are parity-packed (pure even-ℓ / odd-ℓ): for fixed ℓ-parity,
+    whether a term feeds the even (north+south) or odd (north−south)
+    accumulator is a function of m alone, so the einsums run un-masked —
+    half the FLOPs of masking alm by (ℓ+m) parity — and cheap m-parity
+    masks route each chunk's output.
+    """
     L = op.lmax + 1
     nh = op.nhalf
-    lc = op.l_chunk
 
-    lidx = jnp.arange(L)[:, None]
-    midx = jnp.arange(L)[None, :]
-    evenmask = ((lidx + midx) % 2 == 0).astype(alm.real.dtype)
-    alm_even = alm * evenmask
-    alm_odd = alm * (1.0 - evenmask)
+    # pack alm rows by ell parity: [evens; odds] — one cheap reorder
+    ne = (L + 1) // 2
+    alm_p = jnp.concatenate([alm[..., 0::2, :], alm[..., 1::2, :]], axis=-2)
 
     batch_shape = alm.shape[:-2]
     Ge = jnp.zeros(batch_shape + (nh, L), dtype=alm.dtype)
     Go = jnp.zeros_like(Ge)
+    midx = jnp.arange(L)[None, :]
 
-    for c, lam_c in enumerate(t["lam"]):
-        l_lo = c * lc
-        l_hi = min(L, l_lo + lc)
+    for (parity, sub_lo, nrows, _), lam_c in zip(op._lam_meta, t["lam"]):
         mw = min(lam_c.shape[-1], L)
-        lam = lam_c[: l_hi - l_lo, :, :mw].astype(alm.real.dtype)
-        ae = alm_even[..., l_lo:l_hi, :mw]
-        ao = alm_odd[..., l_lo:l_hi, :mw]
-        Ge = Ge.at[..., :mw].add(jnp.einsum("lrm,...lm->...rm", lam, ae))
-        Go = Go.at[..., :mw].add(jnp.einsum("lrm,...lm->...rm", lam, ao))
+        off = sub_lo + (0 if parity == 0 else ne)
+        ablk = alm_p[..., off : off + nrows, :mw]
+        lam = lam_c[:nrows, :, :mw].astype(alm.real.dtype)
+        X = jnp.einsum("lrm,...lm->...rm", lam, ablk)
+        meven = (midx[:, :mw] % 2 == 0).astype(alm.real.dtype)
+        if parity == 0:
+            Ge = Ge.at[..., :mw].add(X * meven)
+            Go = Go.at[..., :mw].add(X * (1.0 - meven))
+        else:
+            Ge = Ge.at[..., :mw].add(X * (1.0 - meven))
+            Go = Go.at[..., :mw].add(X * meven)
 
     Gn = Ge + Go
     Gs = Ge - Go
@@ -90,34 +99,37 @@ def _legendre_contract_cached(op, t, alm):
 def _legendre_contract_streamed(op, t, alm_block_fn, batch_shape, dtype):
     """Streaming variant of :func:`_legendre_contract_cached`.
 
-    The alm rows for each ℓ-chunk are produced on the fly by
-    ``alm_block_fn(c, l_lo, l_hi) -> [..., l_hi-l_lo, L]`` so the full
-    [..., L, L] alm array never materialises in HBM — this is what makes
-    the Nside=512 × 256-channel cube fit on one 16 GB chip (the alm cube
-    alone is 4.8 GB and its draw temporaries triple that).
+    The alm rows for each parity-packed ℓ-chunk are produced on the fly by
+    ``alm_block_fn(c, off, nrows) -> [..., nrows, L]`` (off indexes the
+    parity-packed ell order: evens then odds) so the full [..., L, L] alm
+    array never materialises in HBM — this is what makes the Nside=512 ×
+    256-channel cube fit on one 16 GB chip (the alm cube alone is 4.8 GB
+    and its draw temporaries triple that).
     """
     L = op.lmax + 1
     nh = op.nhalf
-    lc = op.l_chunk
+    ne = (L + 1) // 2
     midx = jnp.arange(L)[None, :]
 
     Ge = jnp.zeros(batch_shape + (nh, L), dtype=dtype)
     Go = jnp.zeros_like(Ge)
 
-    for c, lam_c in enumerate(t["lam"]):
-        l_lo = c * lc
-        l_hi = min(L, l_lo + lc)
+    for c, ((parity, sub_lo, nrows, _), lam_c) in enumerate(
+        zip(op._lam_meta, t["lam"])
+    ):
         mw = min(lam_c.shape[-1], L)
-        alm_blk = alm_block_fn(c, l_lo, l_hi)[..., :mw]
-        lidx = jnp.arange(l_lo, l_hi)[:, None]
-        mm = (midx[:, :mw] <= lidx).astype(alm_blk.real.dtype)
-        em = ((lidx + midx[:, :mw]) % 2 == 0).astype(alm_blk.real.dtype) * mm
-        om = (1.0 - ((lidx + midx[:, :mw]) % 2 == 0)).astype(
-            alm_blk.real.dtype
-        ) * mm
-        lam = lam_c[: l_hi - l_lo, :, :mw].astype(alm_blk.real.dtype)
-        Ge = Ge.at[..., :mw].add(jnp.einsum("lrm,...lm->...rm", lam, alm_blk * em))
-        Go = Go.at[..., :mw].add(jnp.einsum("lrm,...lm->...rm", lam, alm_blk * om))
+        off = sub_lo + (0 if parity == 0 else ne)
+        alm_blk = alm_block_fn(c, off, nrows)[..., :mw]
+        lam = lam_c[:nrows, :, :mw].astype(alm_blk.real.dtype)
+        # λ is structurally zero for m > l, killing the m > l noise terms.
+        X = jnp.einsum("lrm,...lm->...rm", lam, alm_blk)
+        meven = (midx[:, :mw] % 2 == 0).astype(alm_blk.real.dtype)
+        if parity == 0:
+            Ge = Ge.at[..., :mw].add(X * meven)
+            Go = Go.at[..., :mw].add(X * (1.0 - meven))
+        else:
+            Ge = Ge.at[..., :mw].add(X * (1.0 - meven))
+            Go = Go.at[..., :mw].add(X * meven)
 
     Gn = Ge + Go
     Gs = Ge - Go
@@ -132,12 +144,13 @@ def synthesis_grid_correlated(op, t, roots, key, z_lo, nz_chunk):
 
     Draws the correlated a_lm for frequencies [z_lo, z_lo+nz_chunk) from
     per-ℓ covariance roots and synthesizes the dense ring-grid maps in one
-    streaming program: the ξ white-noise blocks are regenerated per ℓ-chunk
-    from ``fold_in(key, chunk)`` (identical across frequency chunks, so the
-    full cube is drawn from one consistent realisation), contracted with
-    the chunk's rows of ``roots``, and fed straight into the Legendre
-    contraction (reference behaviour: skysim.py:72-136 mkfullsky, but
-    without ever materialising alm[nz, L, M]).
+    streaming program: the ξ white-noise blocks are regenerated per
+    parity-packed ℓ-chunk from ``fold_in(key, chunk)`` (identical across
+    frequency chunks, so the full cube is drawn from one consistent
+    realisation), contracted with the chunk's rows of ``roots``, and fed
+    straight into the Legendre contraction (reference behaviour:
+    skysim.py:72-136 mkfullsky, but without ever materialising
+    alm[nz, L, M]).
 
     Parameters
     ----------
@@ -150,20 +163,22 @@ def synthesis_grid_correlated(op, t, roots, key, z_lo, nz_chunk):
     L = op.lmax + 1
     nz = roots.shape[-1]
 
-    def alm_blk(c, l_lo, l_hi):
-        lb = l_hi - l_lo
+    # parity-packed ell order (matches the Λ chunk layout)
+    roots_p = jnp.concatenate([roots[0::2], roots[1::2]], axis=0)
+
+    def alm_blk(c, off, nrows):
         kc = jax.random.fold_in(key, c)
         kr, ki = jax.random.split(kc)
-        shape = (lb, nz, L)
+        shape = (nrows, nz, L)
         xi = (
             jax.random.normal(kr, shape, jnp.float32)
             + 1j * jax.random.normal(ki, shape, jnp.float32)
         ) * jnp.asarray(0.70710678, jnp.float32)
         rblk = lax.dynamic_slice(
-            roots, (l_lo, z_lo, 0), (lb, nz_chunk, nz)
+            roots_p, (off, z_lo, 0), (nrows, nz_chunk, nz)
         ).astype(jnp.complex64)
         a = jnp.einsum("lzy,lym->lzm", rblk, xi)
-        return jnp.moveaxis(a, 0, 1)  # [nz_chunk, lb, M]
+        return jnp.moveaxis(a, 0, 1)  # [nz_chunk, nrows, M]
 
     G = _legendre_contract_streamed(
         op, t, alm_blk, (nz_chunk,), jnp.complex64
@@ -172,10 +187,16 @@ def synthesis_grid_correlated(op, t, roots, key, z_lo, nz_chunk):
 
 
 def _legendre_project_cached(op, t, G):
-    """Adjoint: alm[..., l, m] = Σ_r λ_lm(θ_r) G[..., r, m], cached-Λ path."""
+    """Adjoint: alm[..., l, m] = Σ_r λ_lm(θ_r) G[..., r, m], cached-Λ path.
+
+    Parity-packed adjoint of :func:`_legendre_contract_cached`: even-ℓ rows
+    draw from the m-parity-matched mix of the north+south / north−south
+    accumulators, odd-ℓ rows from the complement — un-masked einsums at
+    half the FLOPs, one interleave at the end.
+    """
     L = op.lmax + 1
     nh = op.nhalf
-    lc = op.l_chunk
+    ne = (L + 1) // 2
 
     Gn = G[..., :nh, :]
     Gs = G[..., nh:, :]
@@ -184,25 +205,28 @@ def _legendre_project_cached(op, t, G):
     Ge = Gn.at[..., south_idx, :].add(Gs)
     Go = Gn.at[..., south_idx, :].add(-Gs)
 
-    lidx = jnp.arange(L)[:, None]
-    midx = jnp.arange(L)[None, :]
-    evenmask = ((lidx + midx) % 2 == 0).astype(G.real.dtype)
+    meven = (jnp.arange(L)[None, :] % 2 == 0).astype(G.real.dtype)
+    src_even = Ge * meven + Go * (1.0 - meven)  # for even-ℓ rows
+    src_odd = Ge * (1.0 - meven) + Go * meven  # for odd-ℓ rows
 
-    parts = []
-    for c, lam_c in enumerate(t["lam"]):
-        l_lo = c * lc
-        l_hi = min(L, l_lo + lc)
+    parts = {0: [], 1: []}
+    for (parity, sub_lo, nrows, _), lam_c in zip(op._lam_meta, t["lam"]):
         mw = min(lam_c.shape[-1], L)
-        lam = lam_c[: l_hi - l_lo, :, :mw].astype(G.real.dtype)
-        ae = jnp.einsum("lrm,...rm->...lm", lam, Ge[..., :mw])
-        ao = jnp.einsum("lrm,...rm->...lm", lam, Go[..., :mw])
-        em = evenmask[l_lo:l_hi, :mw]
-        out = ae * em + ao * (1.0 - em)
+        lam = lam_c[:nrows, :, :mw].astype(G.real.dtype)
+        srcg = src_even if parity == 0 else src_odd
+        out = jnp.einsum("lrm,...rm->...lm", lam, srcg[..., :mw])
         pad = L - mw
         if pad:
             out = jnp.pad(out, [(0, 0)] * (out.ndim - 2) + [(0, 0), (0, pad)])
-        parts.append(out)
-    return jnp.concatenate(parts, axis=-2)[..., :L, :]
+        parts[parity].append(out)
+
+    evens = jnp.concatenate(parts[0], axis=-2)[..., :ne, :]
+    odds = jnp.concatenate(parts[1], axis=-2)[..., : L - ne, :]
+    if odds.shape[-2] < ne:  # L odd: pad one row for the interleave
+        odds = jnp.pad(odds, [(0, 0)] * (odds.ndim - 2) + [(0, 1), (0, 0)])
+    alm = jnp.stack([evens, odds], axis=-2)  # [..., ne, 2, M]
+    alm = alm.reshape(alm.shape[:-3] + (2 * ne, L))
+    return alm[..., :L, :]
 
 
 def _legendre_contract_scan(op, t, alm):
@@ -793,6 +817,7 @@ class SHT:
         self._north_idx = np.minimum(np.arange(nring), nh - 1).astype(np.int32)
         self._south_idx = self._mirror[nh:]
 
+        self._lam_meta = self._lambda_chunk_meta()
         self._lam_host = None
         if legendre_mode == "cached":
             self._lam_host = self._load_or_build_lambda(lambda_cache)
@@ -821,8 +846,8 @@ class SHT:
 
         if cache_path:
             meta = np.array(
-                [self.nside, self.lmax, self.l_chunk], dtype=np.int64
-            )
+                [self.nside, self.lmax, self.l_chunk, 2], dtype=np.int64
+            )  # last entry: Λ layout version (2 = parity-packed)
             if os.path.exists(cache_path):
                 try:
                     d = np.load(cache_path)
@@ -847,17 +872,38 @@ class SHT:
             return lam
         return self._build_lambda_cache()
 
-    def _build_lambda_cache(self):
-        """Host float64 recurrence → float32 ragged Λ l-chunks.
+    def _lambda_chunk_meta(self):
+        """Chunk layout for the parity-packed Λ cache.
 
-        Chunk c holds λ for l ∈ [c·lc, (c+1)·lc) and m ≤ chunk end (padded
-        to 128 lanes) over the northern rings: [lc, nh, M_c].  Total ≈
-        nh·lmax²/2·4 bytes (~5 GB at nside=512) — the transform's "weights".
+        Chunks cover the even-ℓ subsequence first, then the odd-ℓ one;
+        returns [(parity, sub_lo, nrows, mwidth)].  Pure function of
+        (lmax, l_chunk) so disk-cached tables can be reused.
+        """
+        L = self.lmax + 1
+        lc = self.l_chunk
+        meta = []
+        for parity in (0, 1):
+            nsub = (L - parity + 1) // 2
+            for j in range(-(-nsub // lc)):
+                sub_lo = j * lc
+                nrows = min(lc, nsub - sub_lo)
+                lmax_chunk = parity + 2 * (sub_lo + nrows - 1)
+                mwidth = min(L, ((lmax_chunk + 1 + 127) // 128) * 128)
+                meta.append((parity, sub_lo, nrows, mwidth))
+        return meta
+
+    def _build_lambda_cache(self):
+        """Host float64 recurrence → float32 ragged parity-packed Λ chunks.
+
+        Each chunk holds λ_ℓm for ℓ of ONE parity (see _lambda_chunk_meta)
+        over the northern rings: [nrows, nh, M_c].  Pure-parity chunks let
+        the contraction run un-masked einsums at half the FLOPs (the
+        (ℓ+m)-parity decision moves to cheap m-masks on the outputs).
+        Total ≈ nh·lmax²/2·4 bytes (~5 GB at nside=512) — the transform's
+        "weights".
         """
         L = self.lmax + 1
         nh = self.nhalf
-        lc = self.l_chunk
-        nchunk = -(-L // lc)
 
         z = self._z_half
         lam_mm = self._lam_mm
@@ -868,27 +914,30 @@ class SHT:
         lam_pp = np.zeros((nh, L))
         m_arr = np.arange(L)
 
-        chunks = []
-        for c in range(nchunk):
-            l_lo = c * lc
-            mwidth = min(L, ((min(L, l_lo + lc) + 127) // 128) * 128)
-            buf = np.empty((lc, nh, mwidth), dtype=self.cache_dtype)
-            for i in range(lc):
-                ll = l_lo + i
-                if ll < L:
-                    lam = np.where(
-                        ll == m_arr[None, :],
-                        lam_mm,
-                        rec_a[ll][None, :] * z[:, None] * lam_p
-                        + rec_b[ll][None, :] * lam_pp,
-                    )
-                else:
-                    lam = np.zeros_like(lam_p)
-                lam_pp = lam_p
-                lam_p = lam
-                buf[i] = lam[:, :mwidth]
-            chunks.append(buf)
-        return chunks
+        meta = self._lambda_chunk_meta()
+        # rows by global ell, written as the recurrence advances
+        bufs = [
+            np.zeros((nrows, nh, mw), dtype=self.cache_dtype)
+            for (_, _, nrows, mw) in meta
+        ]
+        # map global ell -> (chunk index, row within chunk)
+        where = {}
+        for ci, (parity, sub_lo, nrows, mw) in enumerate(meta):
+            for i in range(nrows):
+                where[parity + 2 * (sub_lo + i)] = (ci, i)
+
+        for ll in range(L):
+            lam = np.where(
+                ll == m_arr[None, :],
+                lam_mm,
+                rec_a[ll][None, :] * z[:, None] * lam_p
+                + rec_b[ll][None, :] * lam_pp,
+            )
+            lam_pp = lam_p
+            lam_p = lam
+            ci, i = where[ll]
+            bufs[ci][i] = lam[:, : bufs[ci].shape[-1]]
+        return bufs
 
     def tables(self, double: bool = False):
         """Device table pytree at the requested precision (cached)."""

@@ -160,22 +160,24 @@ def test_streamed_correlated_synthesis_matches_explicit():
     roots = jnp.asarray(rng.randn(L, nz, nz).astype(np.float32) * 0.1)
     key = jax.random.PRNGKey(3)
 
-    lc = op.l_chunk
-    blocks = []
-    for c in range((L + lc - 1) // lc):
-        l_lo, l_hi = c * lc, min(L, (c + 1) * lc)
+    # replicate the packed-chunk xi scheme: chunk c covers the ells of one
+    # parity (evens first), fold_in(key, c) supplies its white noise
+    alm = np.zeros((nz, L, L), dtype=np.complex64)
+    for c, (parity, sub_lo, nrows, _) in enumerate(op._lam_meta):
+        ells = parity + 2 * (sub_lo + np.arange(nrows))
         kc = jax.random.fold_in(key, c)
         kr, ki = jax.random.split(kc)
         xi = (
-            jax.random.normal(kr, (l_hi - l_lo, nz, L), jnp.float32)
-            + 1j * jax.random.normal(ki, (l_hi - l_lo, nz, L), jnp.float32)
+            jax.random.normal(kr, (nrows, nz, L), jnp.float32)
+            + 1j * jax.random.normal(ki, (nrows, nz, L), jnp.float32)
         ) * 0.70710678
-        blocks.append(
-            jnp.einsum("lzy,lym->lzm", roots[l_lo:l_hi].astype(jnp.complex64), xi)
+        blk = jnp.einsum(
+            "lzy,lym->lzm", jnp.asarray(roots)[ells].astype(jnp.complex64), xi
         )
-    alm = jnp.concatenate(blocks, 0)
-    alm = alm * (jnp.arange(L)[None, :] <= jnp.arange(L)[:, None])[:, None, :]
-    alm = jnp.moveaxis(alm, 0, 1)
+        alm[:, ells, :] = np.moveaxis(np.asarray(blk), 0, 1)
+    alm = jnp.asarray(alm) * (
+        jnp.arange(L)[None, :] <= jnp.arange(L)[:, None]
+    )[None, :, :]
     ref = np.asarray(_synthesis_grid(op, t, alm.astype(jnp.complex64)))
 
     out = np.concatenate(
