@@ -54,14 +54,14 @@ def timeit(name, fn, *args):
 key = jax.random.PRNGKey(0)
 
 
-def alm_blk_maker(r, k, z_lo):
-    def alm_blk(c, l_lo, l_hi):
-        lb = l_hi - l_lo
+def alm_blk_maker(rp, k, z_lo):
+    # rp: parity-packed roots [L, nz, nz] (evens first), matching _lam_meta
+    def alm_blk(c, off, nrows):
         kc = jax.random.fold_in(k, c)
         kr, ki = jax.random.split(kc)
-        xi = (jax.random.normal(kr, (lb, nfreq, L), jnp.float32)
-              + 1j * jax.random.normal(ki, (lb, nfreq, L), jnp.float32)) * 0.70710678
-        rblk = jax.lax.dynamic_slice(r, (l_lo, z_lo, 0), (lb, fchunk, nfreq)).astype(jnp.complex64)
+        xi = (jax.random.normal(kr, (nrows, nfreq, L), jnp.float32)
+              + 1j * jax.random.normal(ki, (nrows, nfreq, L), jnp.float32)) * 0.70710678
+        rblk = jax.lax.dynamic_slice(rp, (off, z_lo, 0), (nrows, fchunk, nfreq)).astype(jnp.complex64)
         a = jnp.einsum("lzy,lym->lzm", rblk, xi)
         return jnp.moveaxis(a, 0, 1)
     return alm_blk
@@ -69,8 +69,21 @@ def alm_blk_maker(r, k, z_lo):
 
 @jax.jit
 def leg_only(r, k, t):
-    G = _legendre_contract_streamed(op, t, alm_blk_maker(r, k, 0), (fchunk,), jnp.complex64)
+    rp = jnp.concatenate([r[0::2], r[1::2]], axis=0)
+    G = _legendre_contract_streamed(op, t, alm_blk_maker(rp, k, 0), (fchunk,), jnp.complex64)
     return jnp.sum(jnp.abs(G))
+
+
+@jax.jit
+def draw_only(r, k, t):
+    rp = jnp.concatenate([r[0::2], r[1::2]], axis=0)
+    fn = alm_blk_maker(rp, k, 0)
+    ne = (L + 1) // 2
+    acc = jnp.float32(0.0)
+    for c, (parity, sub_lo, nrows, _) in enumerate(op._lam_meta):
+        off = sub_lo + (0 if parity == 0 else ne)
+        acc = acc + jnp.sum(jnp.abs(fn(c, off, nrows)))
+    return acc
 
 
 @jax.jit
@@ -88,6 +101,7 @@ def full_chunk(r, k, t):
     return jnp.sum(jnp.abs(g))
 
 
-timeit("legendre(1 chunk)", leg_only, roots_d, key, tabs)
+timeit("draw(1 chunk)", draw_only, roots_d, key, tabs)
+timeit("legendre(1 chunk, incl draw)", leg_only, roots_d, key, tabs)
 timeit("rings(1 chunk)", rings_only, key, tabs)
 timeit("full(1 chunk)", full_chunk, roots_d, key, tabs)
