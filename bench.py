@@ -69,6 +69,8 @@ def main():
     p.add_argument("--nfreq", type=int, default=256)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--fchunk", type=int, default=32)
+    p.add_argument("--fleg", type=int, default=None,
+                   help="frequencies per Legendre-stage chunk (default nfreq)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -97,7 +99,7 @@ def main():
 
     from cora_tpu.signal.corr21cm import Corr21cm
     from cora_tpu.signal import clfast
-    from cora_tpu.healpix.sht import SHT, synthesis_grid_correlated
+    from cora_tpu.healpix.sht import SHT, synthesis_scan_correlated
     from cora_tpu.util import xfer
 
     nside, nfreq = args.nside, args.nfreq
@@ -148,19 +150,21 @@ def main():
     print(f"# SHT tables setup+transfer: {time.time()-t0:.1f}s", file=sys.stderr)
 
     fchunk = min(args.fchunk, nfreq)
-    nchunk = (nfreq + fchunk - 1) // fchunk
+    fleg = min(args.fleg or nfreq, nfreq)
+    fleg = max(fleg - fleg % fchunk, fchunk)
+    while nfreq % fleg:
+        fleg -= fchunk
 
-    # timed step: ONE jitted program — fused correlated draw + streaming
-    # Legendre contraction + foldless Bluestein ring synthesis per frequency
-    # chunk, accumulated to a scalar on device (a single fetch per step;
-    # the full alm cube never materialises in HBM).
+    # timed step: ONE jitted program — two-level streamed synthesis
+    # (Legendre stage at fleg frequencies for full MXU row tiles and
+    # one-shot RNG; ring FFT stage at fchunk to bound HBM), accumulated to
+    # a scalar on device.  The full alm cube never materialises in HBM.
     @jax.jit
     def step_fn(key, r, t):
-        def body(i, acc):
-            g = synthesis_grid_correlated(op, t, r, key, i * fchunk, fchunk)
-            return acc + jnp.sum(jnp.abs(g))
-
-        return jax.lax.fori_loop(0, nchunk, body, jnp.float32(0.0))
+        return synthesis_scan_correlated(
+            op, t, r, key, fleg, fchunk,
+            lambda g, z, acc: acc + jnp.sum(jnp.abs(g)), jnp.float32(0.0),
+        )
 
     def step(key):
         return float(step_fn(key, roots_d, sht_tables))

@@ -96,7 +96,8 @@ def _legendre_contract_cached(op, t, alm):
     )
 
 
-def _legendre_contract_streamed(op, t, alm_block_fn, batch_shape, dtype):
+def _legendre_contract_streamed(op, t, alm_block_fn, batch_shape, dtype,
+                                expand=True):
     """Streaming variant of :func:`_legendre_contract_cached`.
 
     The alm rows for each parity-packed ℓ-chunk are produced on the fly by
@@ -131,9 +132,16 @@ def _legendre_contract_streamed(op, t, alm_block_fn, batch_shape, dtype):
             Ge = Ge.at[..., :mw].add(X * (1.0 - meven))
             Go = Go.at[..., :mw].add(X * meven)
 
+    if not expand:
+        return Ge, Go
+    return _expand_rings(op, t, Ge, Go)
+
+
+def _expand_rings(op, t, Ge, Go):
+    """[..., nh, m] even/odd accumulators → all-ring G via N/S mirror."""
     Gn = Ge + Go
     Gs = Ge - Go
-    north = jnp.arange(op.nring) < nh
+    north = jnp.arange(op.nring) < op.nhalf
     return jnp.where(
         north[:, None], Gn[..., t["north_idx"], :], Gs[..., t["mirror"], :]
     )
@@ -184,6 +192,71 @@ def synthesis_grid_correlated(op, t, roots, key, z_lo, nz_chunk):
         op, t, alm_blk, (nz_chunk,), jnp.complex64
     )
     return _rings_to_grid(op, t, G)
+
+
+def _correlated_GeGo(op, t, roots_p, key, z_lo, nz_chunk):
+    """Even/odd ring accumulators for one frequency chunk of the
+    correlated draw (parity-packed roots; see synthesis_grid_correlated)."""
+    from jax import lax
+
+    L = op.lmax + 1
+    nz = roots_p.shape[-1]
+
+    def alm_blk(c, off, nrows):
+        kc = jax.random.fold_in(key, c)
+        kr, ki = jax.random.split(kc)
+        shape = (nrows, nz, L)
+        xi = (
+            jax.random.normal(kr, shape, jnp.float32)
+            + 1j * jax.random.normal(ki, shape, jnp.float32)
+        ) * jnp.asarray(0.70710678, jnp.float32)
+        rblk = lax.dynamic_slice(
+            roots_p, (off, z_lo, 0), (nrows, nz_chunk, nz)
+        ).astype(jnp.complex64)
+        a = jnp.einsum("lzy,lym->lzm", rblk, xi)
+        return jnp.moveaxis(a, 0, 1)
+
+    return _legendre_contract_streamed(
+        op, t, alm_blk, (nz_chunk,), jnp.complex64, expand=False
+    )
+
+
+def synthesis_scan_correlated(op, t, roots, key, nz_leg, nz_ring, consume,
+                              init):
+    """Two-level streamed correlated synthesis.
+
+    Level 1 (``nz_leg`` frequencies): the Legendre contraction runs with a
+    large matmul row dimension — full MXU row tiles — and each ξ
+    white-noise block is generated nz/nz_leg times per sweep instead of
+    nz/nz_ring (the RNG is ~⅓ of a naive step at the flagship size).
+    Level 2 (``nz_ring``): the N/S ring expansion and the ring FFT stage
+    run on small slices to bound HBM.
+
+    ``consume(g, z_lo, carry) -> carry`` folds each [nz_ring, nring, nq]
+    ring-grid block; the full cube never needs to exist unless the caller
+    wants it.
+    """
+    from jax import lax
+
+    nz = roots.shape[-1]
+    if nz % nz_leg or nz_leg % nz_ring:
+        raise ValueError("nz_leg must divide nz and nz_ring divide nz_leg")
+
+    roots_p = jnp.concatenate([roots[0::2], roots[1::2]], axis=0)
+
+    def leg_body(i, carry):
+        z0 = i * nz_leg
+        Ge, Go = _correlated_GeGo(op, t, roots_p, key, z0, nz_leg)
+
+        def ring_body(j, carry2):
+            ge = lax.dynamic_slice_in_dim(Ge, j * nz_ring, nz_ring, axis=0)
+            go = lax.dynamic_slice_in_dim(Go, j * nz_ring, nz_ring, axis=0)
+            g = _rings_to_grid(op, t, _expand_rings(op, t, ge, go))
+            return consume(g, z0 + j * nz_ring, carry2)
+
+        return lax.fori_loop(0, nz_leg // nz_ring, ring_body, carry)
+
+    return lax.fori_loop(0, nz // nz_leg, leg_body, init)
 
 
 def _legendre_project_cached(op, t, G):
