@@ -114,7 +114,7 @@ def synthesize_cube_sharded(
     """
     from functools import partial
     from jax.experimental.shard_map import shard_map
-    from ..healpix.sht import synthesis_grid_correlated
+    from ..healpix.sht import synthesis_scan_correlated
 
     n_dev = mesh.shape[mesh_axis]
     L, _, nz = roots.shape
@@ -136,18 +136,18 @@ def synthesize_cube_sharded(
     )
     def _local(roots_rows, key):
         # roots_rows: [L, nloc, nz] — this device's output frequencies.
-        def body(i, acc):
-            g = synthesis_grid_correlated(
-                op, tables, roots_rows, key, i * fchunk, fchunk
-            )
-            return jax.lax.dynamic_update_slice_in_dim(
-                acc, g, i * fchunk, axis=0
-            )
-
+        # Two-level scan: Legendre stage over all local frequencies (full
+        # MXU row tiles, one-shot RNG), ring stage at fchunk.
         nring = 4 * op.nside - 1
         nq = tables["bl_C"].shape[-1]
         out = jnp.zeros((nloc, nring, nq), jnp.float32)
-        return jax.lax.fori_loop(0, nchunk, body, out)
+        return synthesis_scan_correlated(
+            op, tables, roots_rows, key, nloc, fchunk,
+            lambda g, z, acc: jax.lax.dynamic_update_slice_in_dim(
+                acc, g, z, axis=0
+            ),
+            out,
+        )
 
     with mesh:
         roots_d = jax.device_put(
