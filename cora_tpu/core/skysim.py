@@ -254,3 +254,69 @@ def mkconstrained(corr, constraints, nside, key=None):
 
     # zero m > l already guaranteed by calm structure
     return np.asarray(_sht.alm2map(jnp.asarray(cv), nside))
+
+
+def mkfullsky_streamed(corr, nside, key=None, fchunk=16):
+    """Generator: correlated sky cube in frequency chunks, host pixel maps.
+
+    For cubes too large for device HBM or host RAM in one piece
+    (Nside≥512, hundreds of channels): per-ℓ covariance roots are built
+    once on host, each chunk of frequencies is synthesized on device with
+    the fused streaming draw (`sht.synthesis_grid_correlated` — the full
+    a_lm cube never exists), and yielded as (z_lo, maps[fchunk, npix])
+    host arrays via the native ring-grid → pixel converter.
+
+    All chunks share one white-noise realisation (same key), so
+    concatenating the yields equals a single `mkfullsky` draw of the whole
+    cube statistically.
+    """
+    from .. import native
+    from ..healpix import pixel as _pixel
+    from ..healpix.sht import SHT, synthesis_grid_correlated
+    from ..util import xfer
+
+    corr = np.asarray(corr)
+    lmax = corr.shape[0] - 1
+    nz = corr.shape[1]
+    if key is None:
+        key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+
+    # roots on host in float64 (independent of jax_enable_x64)
+    cmax = np.abs(np.diagonal(corr, axis1=-2, axis2=-1)).max(
+        axis=-1, keepdims=True
+    )
+    corrm = (corr + (cmax * 1e-14)[..., None] * np.eye(nz)) / np.where(
+        cmax[..., None] > 0, cmax[..., None], 1.0
+    )
+    evals, evecs = np.linalg.eigh(corrm)
+    evals = np.where(evals > evals.max(axis=-1, keepdims=True) * 1e-16,
+                     evals, 0.0)
+    roots = (evecs * np.sqrt(evals)[..., None, :]) * np.sqrt(
+        np.where(cmax > 0, cmax, 1.0)
+    )[..., None]
+    roots_d = xfer.put(roots.astype(np.float32))
+
+    op = SHT(
+        int(nside), int(lmax), legendre_mode="cached",
+        fft_mode="xla" if jax.default_backend() == "cpu" else "mm",
+    )
+    tables = op.tables(False)
+    info = _pixel.ring_info(int(nside))
+    npix = _pixel.nside2npix(int(nside))
+
+    synth = jax.jit(
+        synthesis_grid_correlated, static_argnums=(0, 5)
+    )
+
+    fchunk = min(fchunk, nz)
+    for z_lo in range(0, nz, fchunk):
+        nc = min(fchunk, nz - z_lo)
+        if nc != fchunk:  # ragged tail: synthesize at fchunk, trim
+            z_lo = nz - fchunk
+            nc = fchunk
+        g = np.asarray(synth(op, tables, roots_d, key, z_lo, fchunk))
+        maps = native.grid_to_pixels(
+            g, info["start"].astype(np.int64), info["nphi"].astype(np.int64),
+            npix,
+        )
+        yield z_lo, maps
