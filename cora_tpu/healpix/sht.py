@@ -70,8 +70,8 @@ def _legendre_contract_cached(op, t, alm):
     alm_p = jnp.concatenate([alm[..., 0::2, :], alm[..., 1::2, :]], axis=-2)
 
     batch_shape = alm.shape[:-2]
-    Ge = jnp.zeros(batch_shape + (nh, L), dtype=alm.dtype)
-    Go = jnp.zeros_like(Ge)
+    H0 = jnp.zeros(batch_shape + (nh, L), dtype=alm.dtype)
+    H1 = jnp.zeros_like(H0)
     midx = jnp.arange(L)[None, :]
 
     for (parity, sub_lo, nrows, _), lam_c in zip(op._lam_meta, t["lam"]):
@@ -80,13 +80,15 @@ def _legendre_contract_cached(op, t, alm):
         ablk = alm_p[..., off : off + nrows, :mw]
         lam = lam_c[:nrows, :, :mw].astype(alm.real.dtype)
         X = jnp.einsum("lrm,...lm->...rm", lam, ablk)
-        meven = (midx[:, :mw] % 2 == 0).astype(alm.real.dtype)
         if parity == 0:
-            Ge = Ge.at[..., :mw].add(X * meven)
-            Go = Go.at[..., :mw].add(X * (1.0 - meven))
+            H0 = H0.at[..., :mw].add(X)
         else:
-            Ge = Ge.at[..., :mw].add(X * (1.0 - meven))
-            Go = Go.at[..., :mw].add(X * meven)
+            H1 = H1.at[..., :mw].add(X)
+
+    # m-parity masks applied once (see _legendre_contract_streamed)
+    meven = (midx % 2 == 0).astype(alm.real.dtype)
+    Ge = H0 * meven + H1 * (1.0 - meven)
+    Go = H0 * (1.0 - meven) + H1 * meven
 
     Gn = Ge + Go
     Gs = Ge - Go
