@@ -25,22 +25,16 @@ import jax.numpy as jnp
 
 
 def _split(n):
-    """Factor n = n1 * n2 for the two matmul stages (n power of 2).
+    """Factor n = n1 * n2 with n1, n2 as close as possible (n power of 2).
 
-    The stage-1 matmul has contraction/output dims (n1, n1) and carries
-    n1/(n1+n2) of the FLOPs — so n1 is pinned to the 128 MXU tile whenever
-    possible (full systolic-array utilisation on the dominant stage) and
-    only grows past 128 when n ≥ 128² forces both factors up.
+    The balanced split minimises total MACs (2·(n1+n2) per sample); a
+    128-pinned n1 was measured SLOWER on v5e (the huge row batch already
+    fills the MXU, so the +25% MACs of an unbalanced split are pure loss).
     """
     assert n & (n - 1) == 0, "fftmm requires power-of-two lengths"
-    if n <= 128:
-        n1 = n
-    elif n <= 128 * 128:
-        n1 = 128
-    else:
-        n1 = 1
-        while n1 * n1 < n:
-            n1 *= 2
+    n1 = 1
+    while n1 * n1 < n:
+        n1 *= 2
     n2 = n // n1
     return n1, n2
 
