@@ -150,7 +150,11 @@ def main():
     print(f"# SHT tables setup+transfer: {time.time()-t0:.1f}s", file=sys.stderr)
 
     fchunk = min(args.fchunk, nfreq)
-    fleg = min(args.fleg or nfreq, nfreq)
+    # default Legendre-stage width: all frequencies when the working set
+    # fits HBM (nside <= 256), else one-level (fleg > fchunk OOMs at 512
+    # on 16 GB: Ge/Go accumulators + Λ table)
+    fleg_default = nfreq if nside <= 256 else fchunk
+    fleg = min(args.fleg or fleg_default, nfreq)
     fleg = max(fleg - fleg % fchunk, fchunk)
     while nfreq % fleg:
         fleg -= fchunk
