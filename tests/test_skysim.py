@@ -112,3 +112,29 @@ def test_clfast_matches_host():
     # identical algorithm, different precision path
     sel = slice(1, None)
     assert np.allclose(cla_dev[sel], cla_host[sel], rtol=1e-6)
+
+
+def test_mkfullsky_streamed_consistency():
+    """Chunked streaming generator must be reproducible and chunking-
+    invariant for a fixed key."""
+    import jax
+    from cora_tpu.core.skysim import mkfullsky_streamed
+
+    l = np.arange(48.0)
+    nz = 8
+    cl = 1e-4 * (1.0 + l) ** -2.0
+    x = np.linspace(0, 1, nz)
+    corr = cl[:, None, None] * np.exp(
+        -0.5 * ((x[:, None] - x[None, :]) / 0.2) ** 2
+    )[None]
+    key = jax.random.PRNGKey(11)
+
+    a = np.concatenate(
+        [m for _, m in mkfullsky_streamed(corr, 16, key=key, fchunk=4)], 0
+    )
+    b = np.concatenate(
+        [m for _, m in mkfullsky_streamed(corr, 16, key=key, fchunk=8)], 0
+    )
+    assert a.shape == (nz, 12 * 16**2)
+    assert np.isfinite(a).all()
+    assert np.allclose(a, b, atol=1e-5 * np.abs(a).max())
