@@ -143,16 +143,28 @@ class ConstrainedGalaxy(maps.Sky3d):
         am = hpx.ud_grade(self._amp_map, self.nside)
 
         vm = np.asarray(_sht.smoothing(fg[0], sigma=np.radians(0.5)))
+        # variance in nside-16 super-pixels (reference galaxy.py:158);
+        # clamp the window resolution so each window holds >= 4 pixels at
+        # small model nside (a 1-pixel window has zero variance and the
+        # amplitude normalisation below blows up)
+        var_nside = min(16, self.nside // 2)
         vm = np.asarray(
-            _sht.smoothing(map_variance(vm, 16) ** 0.5, sigma=np.radians(2.0))
+            _sht.smoothing(
+                map_variance(vm, var_nside) ** 0.5, sigma=np.radians(2.0)
+            )
         )
-        mv = vm.mean()
+        # guard against degenerate variance/base maps (possible with the
+        # synthetic skydata stand-ins at low nside): 0/0 here would seed
+        # NaNs through the whole cube
+        mv = max(vm.mean(), 1e-30)
 
         fgt = (am / mv) * (fg - fgs)
 
         fgsmooth = haslam[np.newaxis, :] * ((efreq / 408.0)[:, np.newaxis] ** sc)
 
-        fgt /= fgsmooth
+        fgt = np.where(
+            np.abs(fgsmooth) > 0, fgt / np.where(fgsmooth == 0, 1.0, fgsmooth), 0.0
+        )
         fgt = np.where(fgt < 0, np.tanh(fgt), fgt)
         fgt += 1
         fgt *= fgsmooth

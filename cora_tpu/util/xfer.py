@@ -66,3 +66,26 @@ def put(x, device=None):
 def put_tree(tree, device=None):
     """Apply :func:`put` to every array leaf of a pytree (e.g. SHT tables)."""
     return jax.tree_util.tree_map(lambda l: put(l, device), tree)
+
+
+@jax.jit
+def _re(x):
+    return jnp.real(x)
+
+
+@jax.jit
+def _im(x):
+    return jnp.imag(x)
+
+
+def get(x):
+    """Fetch a device array to host, working around broken complex D2H.
+
+    Complex arrays are fetched as two real transfers and recombined on
+    host; real arrays fetch directly.
+    """
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)
+    if jnp.iscomplexobj(x):
+        return np.asarray(_re(x)) + 1j * np.asarray(_im(x))
+    return np.asarray(x)

@@ -109,3 +109,66 @@ def test_cli_pointsource(tmp_path):
     m = _check_map_schema(out, 4, 1, 16)
     assert np.isfinite(m).all()
     assert m[:, 0].std() > 0
+
+
+def test_cli_gaussianfg(tmp_path):
+    out = str(tmp_path / "fg.h5")
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        [
+            "gaussianfg",
+            "--nside", "16",
+            "--freq", "400", "416", "4",
+            "--pol", "zero",
+            "--seed", "2",
+            "--filename", out,
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0
+    # gaussianfg with pol=zero writes a single (I) pol component, matching
+    # the reference (makesky.py:368 npol = 4 if pol == "full" else 1)
+    m = _check_map_schema(out, 4, 1, 16)
+    assert m[:, 0].std() > 0
+
+
+def test_cli_galaxy(tmp_path):
+    out = str(tmp_path / "gal.h5")
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        [
+            "galaxy",
+            "--nside", "16",
+            "--freq", "400", "416", "4",
+            "--pol", "zero",
+            "--seed", "3",
+            "--filename", out,
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0
+    m = _check_map_schema(out, 4, 4, 16)
+    # galactic synchrotron: K-scale positive-mean emission
+    assert m[:, 0].mean() > 0.5
+
+
+def test_cli_foreground(tmp_path):
+    out = str(tmp_path / "fore.h5")
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        [
+            "foreground",
+            "--nside", "16",
+            "--freq", "400", "416", "4",
+            "--pol", "zero",
+            "--seed", "4",
+            "--filename", out,
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0
+    m = _check_map_schema(out, 4, 4, 16)
+    assert m[:, 0].std() > 0
