@@ -79,7 +79,7 @@ def _legendre_contract_cached(op, t, alm):
         off = sub_lo + (0 if parity == 0 else ne)
         ablk = alm_p[..., off : off + nrows, :mw]
         lam = lam_c[:nrows, :, :mw].astype(alm.real.dtype)
-        X = jnp.einsum("lrm,...lm->...rm", lam, ablk)
+        X = jnp.einsum("lrm,...lm->...rm", lam, ablk, precision=op.precision)
         if parity == 0:
             H0 = H0.at[..., :mw].add(X)
         else:
@@ -114,8 +114,11 @@ def _legendre_contract_streamed(op, t, alm_block_fn, batch_shape, dtype,
     ne = (L + 1) // 2
     midx = jnp.arange(L)[None, :]
 
-    Ge = jnp.zeros(batch_shape + (nh, L), dtype=dtype)
-    Go = jnp.zeros_like(Ge)
+    # per-ℓ-parity accumulators; the m-parity masks that route them into
+    # the even/odd (north±south) combination apply ONCE at the end — the
+    # chunk loop is pure matmul + in-place add (minimal liveness/traffic)
+    H0 = jnp.zeros(batch_shape + (nh, L), dtype=dtype)
+    H1 = jnp.zeros_like(H0)
 
     for c, ((parity, sub_lo, nrows, _), lam_c) in enumerate(
         zip(op._lam_meta, t["lam"])
@@ -125,14 +128,15 @@ def _legendre_contract_streamed(op, t, alm_block_fn, batch_shape, dtype,
         alm_blk = alm_block_fn(c, off, nrows)[..., :mw]
         lam = lam_c[:nrows, :, :mw].astype(alm_blk.real.dtype)
         # λ is structurally zero for m > l, killing the m > l noise terms.
-        X = jnp.einsum("lrm,...lm->...rm", lam, alm_blk)
-        meven = (midx[:, :mw] % 2 == 0).astype(alm_blk.real.dtype)
+        X = jnp.einsum("lrm,...lm->...rm", lam, alm_blk, precision=op.precision)
         if parity == 0:
-            Ge = Ge.at[..., :mw].add(X * meven)
-            Go = Go.at[..., :mw].add(X * (1.0 - meven))
+            H0 = H0.at[..., :mw].add(X)
         else:
-            Ge = Ge.at[..., :mw].add(X * (1.0 - meven))
-            Go = Go.at[..., :mw].add(X * meven)
+            H1 = H1.at[..., :mw].add(X)
+
+    meven = (midx % 2 == 0).astype(jnp.float32)
+    Ge = H0 * meven + H1 * (1.0 - meven)
+    Go = H0 * (1.0 - meven) + H1 * meven
 
     if not expand:
         return Ge, Go
@@ -289,7 +293,7 @@ def _legendre_project_cached(op, t, G):
         mw = min(lam_c.shape[-1], L)
         lam = lam_c[:nrows, :, :mw].astype(G.real.dtype)
         srcg = src_even if parity == 0 else src_odd
-        out = jnp.einsum("lrm,...rm->...lm", lam, srcg[..., :mw])
+        out = jnp.einsum("lrm,...rm->...lm", lam, srcg[..., :mw], precision=op.precision)
         pad = L - mw
         if pad:
             out = jnp.pad(out, [(0, 0)] * (out.ndim - 2) + [(0, 0), (0, pad)])
@@ -446,7 +450,7 @@ def _fft_last(op, t, x, inverse=False):
         n1, n2 = op._fft_n1n2
         key = "ifft" if inverse else "fft"
         tab = {"W1": t[key + "W1"], "T": t[key + "T"], "W2": t[key + "W2"]}
-        y = fftmm._apply(x, tab, n1, n2)
+        y = fftmm._apply(x, tab, n1, n2, op.precision)
         return y / op.nfft if inverse else y
     if inverse:
         return jnp.fft.ifft(x, axis=-1)
@@ -498,7 +502,7 @@ def _fft2_last(op, t, x, inverse=False):
         n1, n2 = op._fft2_n1n2
         key = "ifft2" if inverse else "fft2"
         tab = {"W1": t[key + "W1"], "T": t[key + "T"], "W2": t[key + "W2"]}
-        y = fftmm._apply(x, tab, n1, n2)
+        y = fftmm._apply(x, tab, n1, n2, op.precision)
         return y / op.nfft2 if inverse else y
     if inverse:
         return jnp.fft.ifft(x, axis=-1)
@@ -549,7 +553,7 @@ def _fftW_last(op, t, x, inverse=False):
         n1, n2 = op._fftW_n1n2
         key = "ifftW" if inverse else "fftW"
         tab = {"W1": t[key + "W1"], "T": t[key + "T"], "W2": t[key + "W2"]}
-        y = fftmm._apply(x, tab, n1, n2)
+        y = fftmm._apply(x, tab, n1, n2, op.precision)
         return y / (4 * op.nside) if inverse else y
     if inverse:
         return jnp.fft.ifft(x, axis=-1)
@@ -730,6 +734,7 @@ class SHT:
         cache_dtype=np.float32,
         fft_mode: str = "xla",
         ring_mode: str = "split",
+        precision: str = "highest",
         lambda_cache: str | None = None,
     ):
         self.nside = int(nside)
@@ -740,6 +745,11 @@ class SHT:
         self.cache_dtype = cache_dtype
         self.fft_mode = fft_mode
         self.ring_mode = ring_mode
+        # matmul precision for the deterministic transform contractions:
+        # TPU f32 einsums default to bf16 passes (~5e-3 map RMS); "highest"
+        # restores true f32 and meets the 1e-5 accuracy contract
+        # (measured: 2.7e-7 RMS at nside=128; tools/tpu_validate.py).
+        self.precision = precision
 
         info = pixel.ring_info(nside)
         nring = info["theta"].size

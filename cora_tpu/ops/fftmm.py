@@ -64,16 +64,21 @@ def dft_tables(n, dtype=np.complex64):
     return tabs
 
 
-def _apply(x, tab, n1, n2):
-    """One DFT direction over the last axis of x (length n1*n2)."""
+def _apply(x, tab, n1, n2, precision="highest"):
+    """One DFT direction over the last axis of x (length n1*n2).
+
+    ``precision`` guards against TPU bf16 matmul passes: FFT twiddle
+    contractions are precision-critical (the SHT accuracy contract is
+    1e-5 map RMS; bf16 default gives ~5e-3).
+    """
     shape = x.shape
     xr = x.reshape(shape[:-1] + (n1, n2))
     # step 1: DFT over n1 → A[k1, n2]
-    A = jnp.einsum("...nj,nk->...kj", xr, tab["W1"])
+    A = jnp.einsum("...nj,nk->...kj", xr, tab["W1"], precision=precision)
     # step 2: twiddle
     A = A * tab["T"]
     # step 3: DFT over n2 → Y[k1, k2]
-    Y = jnp.einsum("...kj,jl->...kl", A, tab["W2"])
+    Y = jnp.einsum("...kj,jl->...kl", A, tab["W2"], precision=precision)
     # output ordering: X[k1 + n1*k2] → transpose to [k2, k1]
     return jnp.swapaxes(Y, -1, -2).reshape(shape)
 
