@@ -122,7 +122,6 @@ def synthesize_cube_sharded(
         raise ValueError(f"nz={nz} not divisible by mesh size {n_dev}")
     nloc = nz // n_dev
     fchunk = min(fchunk or nloc, nloc)
-    nchunk = (nloc + fchunk - 1) // fchunk
 
     spec_r = P(None, mesh_axis, None)  # roots sharded over the z-row axis
     spec_o = P(mesh_axis, None, None)
