@@ -71,6 +71,7 @@ def main():
     p.add_argument("--fchunk", type=int, default=32)
     p.add_argument("--fleg", type=int, default=None,
                    help="frequencies per Legendre-stage chunk (default nfreq)")
+    p.add_argument("--lchunk", type=int, default=64)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -144,7 +145,9 @@ def main():
 
     t0 = time.time()
     op = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm",
-             lambda_cache=os.path.join(cache_dir, f"lam_{nside}.npz"))
+             l_chunk=args.lchunk,
+             lambda_cache=os.path.join(
+                 cache_dir, f"lam_{nside}_{args.lchunk}.npz"))
     sht_tables = xfer.put_tree(op.tables(False))
     roots_d = xfer.put(roots)
     print(f"# SHT tables setup+transfer: {time.time()-t0:.1f}s", file=sys.stderr)
