@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..healpix import sht as _sht
 from ..util import linalg
+from ..util.xfer import get as xfer_get
 
 
 def clarray(aps, lmax, zarray, zromb=3, zwidth=None):
@@ -158,10 +159,23 @@ def mkfullsky(corr, nside, alms=False, key=None, rng=None, dtype=jnp.complex128)
             seed = np.random.randint(0, 2**31 - 1)
         key = jax.random.PRNGKey(seed)
 
+    if not alms and jax.default_backend() != "cpu":
+        # accelerator path: host-f64 covariance roots + the fused streaming
+        # draw/synthesis per frequency chunk (device eigh and eager-mode
+        # synthesis are not reliable on all TPU runtimes)
+        parts = [
+            m
+            for _, m in mkfullsky_streamed(
+                np.asarray(corr), nside, key=key,
+                fchunk=min(16, corr.shape[1]),
+            )
+        ]
+        return np.concatenate(parts, axis=0)[: corr.shape[1]]
+
     alm = draw_correlated_alm(corr, key, dtype=dtype)
 
     if alms:
-        return np.asarray(alm)
+        return xfer_get(alm)
 
     return alm2map_pixel_safe(alm, nside)
 
@@ -180,12 +194,13 @@ def alm2map_pixel_safe(alm, nside):
 
     from .. import native
     from ..healpix import pixel as _pixel
-    from ..healpix.sht import _synthesis_grid, get_sht
+    from ..healpix.sht import _synthesis_grid_jit, get_sht
+    from ..util.xfer import get as xfer_get, put as xfer_put
 
-    alm = jnp.asarray(alm)
+    alm = xfer_put(np.asarray(alm, dtype=np.complex64))
     lmax = alm.shape[-2] - 1
     op = get_sht(int(nside), int(lmax))
-    grid = np.asarray(_synthesis_grid(op, op.tables(False), alm))
+    grid = xfer_get(_synthesis_grid_jit(op, op.tables(False), alm))
     info = _pixel.ring_info(int(nside))
     return native.grid_to_pixels(
         grid, info["start"].astype(np.int64), info["nphi"].astype(np.int64),
