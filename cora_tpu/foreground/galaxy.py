@@ -15,6 +15,8 @@ from __future__ import annotations
 import os
 
 import numpy as np
+
+from ..util.compute import on_model_device
 import jax
 import jax.numpy as jnp
 
@@ -113,6 +115,7 @@ class ConstrainedGalaxy(maps.Sky3d):
         self._faraday = f["faraday"].astype(np.float64)
         self._data_nside = hpx.npix2nside(self._haslam.shape[-1])
 
+    @on_model_device
     def getsky(self, debug=False, celestial=True, key=None):
         """Realisation of the *unpolarised* sky [freq, pixel] (K).
 
@@ -177,6 +180,7 @@ class ConstrainedGalaxy(maps.Sky3d):
             return fgt, fg, fgs, fgsmooth, am, mv
         return fgt
 
+    @on_model_device
     def getpolsky(self, debug=False, celestial=True, key=None):
         """Realisation of the *polarised* sky [freq, pol, pixel] (K).
 

@@ -14,6 +14,8 @@ import os
 
 import numpy as np
 
+from ..util.compute import on_model_device
+
 from .. import constants
 from ..core import maps
 from ..healpix import pixel as hpx
@@ -147,6 +149,7 @@ class PointSourceModel(maps.Map3d):
             return c
         return c, fluxes
 
+    @on_model_device
     def getsky(self):
         """Full-sky brightness-temperature maps [freq, pix] in K."""
         rng = self._rng()
@@ -174,6 +177,7 @@ class PointSourceModel(maps.Map3d):
         )
         return sky
 
+    @on_model_device
     def getpolsky(self):
         """Polarised point sources (random pol fraction + Faraday screen)."""
         rng = self._rng()
@@ -279,9 +283,11 @@ class RealPointSources(maps.Map3d):
             mask &= flux > self.flux_min
         self._mask = mask
 
+    @on_model_device
     def getsky(self):
         return self.getpolsky()[:, 0]
 
+    @on_model_device
     def getpolsky(self):
         """Paint real sources with their measured spectra and polarisation."""
         self._generate_catalogue()
@@ -357,9 +363,11 @@ class CombinedPointSources(maps.Map3d):
     class _RealResolved(RealPointSources):
         flux_min = 4.0
 
+    @on_model_device
     def getsky(self):
         return self.getpolsky()[:, 0]
 
+    @on_model_device
     def getpolsky(self):
         obj_unresolved = self._UnresolvedBackground.like_map(self)
         obj_random = self._RandomResolved.like_map(self)
