@@ -496,13 +496,18 @@ def _map_to_rings(op, t, fmap, cdtype):
     return G * jnp.conj(t["fold_phase"]).astype(cdtype)
 
 
-def _fft2_last(op, t, x, inverse=False):
-    """(I)FFT at the foldless padded size nfft2 (matmul or XLA form)."""
+def _fft2_last(op, t, x, inverse=False, in_len=None, out_len=None):
+    """(I)FFT at the foldless padded size nfft2 (matmul or XLA form).
+
+    in_len/out_len are structural-sparsity hints for the matmul form
+    (see fftmm._apply); the XLA form ignores them.
+    """
     if op.fft_mode == "mm":
         n1, n2 = op._fft2_n1n2
         key = "ifft2" if inverse else "fft2"
         tab = {"W1": t[key + "W1"], "T": t[key + "T"], "W2": t[key + "W2"]}
-        y = fftmm._apply(x, tab, n1, n2, op.precision)
+        y = fftmm._apply(x, tab, n1, n2, op.precision,
+                         in_len=in_len, out_len=out_len)
         return y / op.nfft2 if inverse else y
     if inverse:
         return jnp.fft.ifft(x, axis=-1)
@@ -590,14 +595,16 @@ def _rings_to_grid_split(op, t, G):
 
     # --- polar caps: generalized Bluestein on the cap rows only
     Gcap = jnp.concatenate([G[..., :lo, :], G[..., hi:, :]], axis=-2)
+    nq_cap = t["bl_C_cap"].shape[-1]
     a = Gcap * t["bl_A_cap"].astype(cdtype)
+    L_in = a.shape[-1]
     pad = op.nfft2 - a.shape[-1]
     a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
     conv = _fft2_last(
-        op, t, _fft2_last(op, t, a) * t["bl_Bf_cap"].astype(cdtype),
-        inverse=True,
+        op, t,
+        _fft2_last(op, t, a, in_len=L_in) * t["bl_Bf_cap"].astype(cdtype),
+        inverse=True, out_len=nq_cap,
     )
-    nq_cap = t["bl_C_cap"].shape[-1]
     S = conv[..., :nq_cap] * t["bl_C_cap"].astype(cdtype)
     valid = (t["bl_C_cap"] != 0.0).astype(S.real.dtype)
     fcap = 2.0 * S.real - Gcap[..., 0:1].real * valid
@@ -632,11 +639,14 @@ def _grid_to_rings_split(op, t, fgrid, cdtype):
         [fgrid[..., :lo, :], fgrid[..., hi:, :]], axis=-2
     )[..., :nq_cap]
     a = fcap.astype(cdtype) * jnp.conj(t["bl_C_cap"]).astype(cdtype)
+    nq_in = a.shape[-1]
     pad = op.nfft2 - a.shape[-1]
     a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
     conv = _fft2_last(
-        op, t, _fft2_last(op, t, a) * jnp.conj(t["bl_Bf_cap"]).astype(cdtype),
-        inverse=True,
+        op, t,
+        _fft2_last(op, t, a, in_len=nq_in)
+        * jnp.conj(t["bl_Bf_cap"]).astype(cdtype),
+        inverse=True, out_len=L,
     )
     Gcap = conv[..., :L] * jnp.conj(t["bl_A_cap"]).astype(cdtype)
 

@@ -64,23 +64,45 @@ def dft_tables(n, dtype=np.complex64):
     return tabs
 
 
-def _apply(x, tab, n1, n2, precision="highest"):
+def _apply(x, tab, n1, n2, precision="highest", in_len=None, out_len=None):
     """One DFT direction over the last axis of x (length n1*n2).
 
     ``precision`` guards against TPU bf16 matmul passes: FFT twiddle
     contractions are precision-critical (the SHT accuracy contract is
     1e-5 map RMS; bf16 default gives ~5e-3).
+
+    ``in_len``: statically-known count of (leading) nonzero input samples —
+    the stage-1 contraction skips the all-zero trailing rows of the
+    [n1, n2] reshape.  ``out_len``: only outputs [0, out_len) are needed —
+    the stage-2 contraction computes k2 < ceil(out_len/n1) columns only
+    (output index is k1 + n1·k2) and the result is zero-padded back.
+    Both are pure matmul-shape reductions (Bluestein convolutions feed
+    zero-padded chirps and slice short windows, so ~40% of the work is
+    structurally void without these hints).
     """
     shape = x.shape
     xr = x.reshape(shape[:-1] + (n1, n2))
+    W1 = tab["W1"]
+    if in_len is not None and in_len < n1 * n2:
+        n1v = -(-in_len // n2)
+        xr = xr[..., :n1v, :]
+        W1 = W1[:n1v, :]
     # step 1: DFT over n1 → A[k1, n2]
-    A = jnp.einsum("...nj,nk->...kj", xr, tab["W1"], precision=precision)
+    A = jnp.einsum("...nj,nk->...kj", xr, W1, precision=precision)
     # step 2: twiddle
     A = A * tab["T"]
+    W2 = tab["W2"]
+    n2v = n2
+    if out_len is not None and out_len < n1 * n2:
+        n2v = -(-out_len // n1)
+        W2 = W2[:, :n2v]
     # step 3: DFT over n2 → Y[k1, k2]
-    Y = jnp.einsum("...kj,jl->...kl", A, tab["W2"], precision=precision)
+    Y = jnp.einsum("...kj,jl->...kl", A, W2, precision=precision)
     # output ordering: X[k1 + n1*k2] → transpose to [k2, k1]
-    return jnp.swapaxes(Y, -1, -2).reshape(shape)
+    out = jnp.swapaxes(Y, -1, -2).reshape(shape[:-1] + (n1 * n2v,))
+    if n2v != n2:
+        out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, n1 * (n2 - n2v))])
+    return out
 
 
 def fft_mm(x, tabs):
