@@ -99,3 +99,22 @@ def test_neighbours_cover_adjacency():
         adjacent = set(np.where((d > 0.2 * res) & (d < 1.2 * res))[0].tolist())
         mine = set(int(x) for x in hp.get_all_neighbours(nside, p).ravel() if x >= 0)
         assert adjacent.issubset(mine)
+
+
+def test_rotator_roundtrip():
+    """Rotator G→C→G angle roundtrip and map-path consistency."""
+    from cora_tpu.healpix.transforms import Rotator, coord_x2y
+    from cora_tpu.healpix import pixel
+
+    r = Rotator(coord=["G", "C"])
+    ri = Rotator(coord=["C", "G"])
+    th = np.array([0.3, 1.0, 2.5])
+    ph = np.array([0.1, 2.0, 5.0])
+    th2, ph2 = ri(*r(th, ph))
+    assert np.allclose(th2, th, atol=1e-9)
+    assert np.allclose(np.mod(ph2 - ph, 2 * np.pi), 0.0, atol=1e-8) or \
+        np.allclose(np.abs(np.mod(ph2 - ph + np.pi, 2*np.pi) - np.pi), 0.0, atol=1e-8)
+
+    nside = 8
+    m = np.cos(np.asarray(pixel.pix2ang(nside, np.arange(12 * nside**2))[0]))
+    assert np.allclose(r.rotate_map_pixel(m), coord_x2y(m, "G", "C"))
