@@ -82,3 +82,32 @@ def test_pure_e_has_no_b(op16):
     Q, U = op16.synthesis(jnp.asarray(E), jnp.asarray(B))
     E2, B2 = op16.analysis(Q, U, 5)
     assert np.abs(np.asarray(B2)).max() < 1e-7 * np.abs(E).max()
+
+
+def test_spin_cached_mode_matches_scan():
+    """Cached f32 spin-Λ tables must reproduce the exact f64 scan mode."""
+    from cora_tpu.healpix.spin import SpinSHT
+
+    nside, lmax = 16, 32
+    L = lmax + 1
+    rng = np.random.RandomState(0)
+
+    def ralm():
+        a = np.zeros((L, L), np.complex128)
+        for l in range(2, L):
+            a[l, 0] = rng.randn()
+            a[l, 1 : l + 1] = (rng.randn(l) + 1j * rng.randn(l)) / np.sqrt(2)
+        return a
+
+    E, B = ralm(), ralm()
+    op_s = SpinSHT(nside, lmax, 2, l_chunk=16)
+    op_c = SpinSHT(nside, lmax, 2, l_chunk=16, legendre_mode="cached")
+    Qs, Us = (np.asarray(x) for x in op_s.synthesis(jnp.asarray(E), jnp.asarray(B)))
+    Qc, Uc = (np.asarray(x) for x in op_c.synthesis(jnp.asarray(E), jnp.asarray(B)))
+    scale = np.abs(Qs).max()
+    assert np.abs(Qs - Qc).max() < 1e-6 * scale
+    assert np.abs(Us - Uc).max() < 1e-6 * scale
+
+    E2, B2 = (np.asarray(x) for x in op_c.analysis(jnp.asarray(Qs), jnp.asarray(Us), 3))
+    band = slice(2, 2 * nside)
+    assert np.abs(E2[band] - E[band]).max() / np.abs(E[band]).max() < 1e-3
