@@ -616,6 +616,61 @@ def _rings_to_grid_split(op, t, G):
     )
 
 
+def _rings_to_grid_complex(op, t, G):
+    """Complex ring evaluation S[..., r, j] = Σ_{m≥0} G_rm e^{imφ_rj} on the
+    dense ring grid — no real-field assembly (spin-weighted maps Q ± iU
+    are complex; cora_tpu.healpix.spin builds on this).
+
+    Positions j ≥ n_r are zero-masked.
+    """
+    cdtype = G.dtype
+    nq_max = t["bl_C"].shape[-1]
+
+    if op.ring_mode == "split" and "eq_phase" in t:
+        lo, hi = op._eq_lo, op._eq_hi
+        W = 4 * op.nside
+
+        A = G[..., lo:hi, :] * t["eq_phase"].astype(cdtype)
+        Lp = A.shape[-1]
+        if Lp % W:
+            A = jnp.pad(A, [(0, 0)] * (A.ndim - 1) + [(0, W - Lp % W)])
+        A = A.reshape(A.shape[:-1] + (-1, W)).sum(axis=-2)
+        Seq = _fftW_last(op, t, A, inverse=True) * W
+        if nq_max > W:
+            Seq = jnp.pad(Seq, [(0, 0)] * (Seq.ndim - 1) + [(0, nq_max - W)])
+
+        if lo == 0 and hi == op.nring:
+            return Seq
+
+        Gcap = jnp.concatenate([G[..., :lo, :], G[..., hi:, :]], axis=-2)
+        nq_cap = t["bl_C_cap"].shape[-1]
+        a = Gcap * t["bl_A_cap"].astype(cdtype)
+        L_in = a.shape[-1]
+        pad = op.nfft2 - a.shape[-1]
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+        conv = _fft2_last(
+            op, t,
+            _fft2_last(op, t, a, in_len=L_in) * t["bl_Bf_cap"].astype(cdtype),
+            inverse=True, out_len=nq_cap,
+        )
+        Scap = conv[..., :nq_cap] * t["bl_C_cap"].astype(cdtype)
+        if nq_max > nq_cap:
+            Scap = jnp.pad(
+                Scap, [(0, 0)] * (Scap.ndim - 1) + [(0, nq_max - nq_cap)]
+            )
+        return jnp.concatenate(
+            [Scap[..., :lo, :], Seq, Scap[..., lo:, :]], axis=-2
+        )
+
+    a = G * t["bl_A"].astype(cdtype)
+    pad = op.nfft2 - a.shape[-1]
+    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+    conv = _fft2_last(
+        op, t, _fft2_last(op, t, a) * t["bl_Bf"].astype(cdtype), inverse=True
+    )
+    return conv[..., :nq_max] * t["bl_C"].astype(cdtype)
+
+
 def _grid_to_rings_split(op, t, fgrid, cdtype):
     """Adjoint of :func:`_rings_to_grid_split`."""
     lo, hi = op._eq_lo, op._eq_hi

@@ -111,3 +111,31 @@ def test_spin_cached_mode_matches_scan():
     E2, B2 = (np.asarray(x) for x in op_c.analysis(jnp.asarray(Qs), jnp.asarray(Us), 3))
     band = slice(2, 2 * nside)
     assert np.abs(E2[band] - E[band]).max() / np.abs(E[band]).max() < 1e-3
+
+
+def test_spin_synthesis_grid_matches_pixel():
+    """Grid-layout spin synthesis equals the pixel path (device-safe Q/U)."""
+    from cora_tpu.healpix.spin import SpinSHT
+    from cora_tpu.healpix import pixel
+
+    nside, lmax = 16, 32
+    L = lmax + 1
+    rng = np.random.RandomState(0)
+
+    def ralm():
+        a = np.zeros((L, L), np.complex128)
+        for l in range(2, L):
+            a[l, 0] = rng.randn()
+            a[l, 1 : l + 1] = (rng.randn(l) + 1j * rng.randn(l)) / np.sqrt(2)
+        return a
+
+    E, B = ralm(), ralm()
+    op = SpinSHT(nside, lmax, 2, l_chunk=16, legendre_mode="cached")
+    Q, U = (np.asarray(x) for x in op.synthesis(jnp.asarray(E), jnp.asarray(B)))
+    Qg, Ug = (np.asarray(x) for x in op.synthesis_grid(jnp.asarray(E), jnp.asarray(B)))
+
+    info = pixel.ring_info(nside)
+    r_of = np.repeat(np.arange(info["theta"].size), info["nphi"])
+    j_of = np.arange(12 * nside**2) - info["start"][r_of]
+    assert np.abs(Qg[r_of, j_of] - Q).max() < 1e-10 * np.abs(Q).max()
+    assert np.abs(Ug[r_of, j_of] - U).max() < 1e-10 * np.abs(Q).max()
