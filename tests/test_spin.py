@@ -139,3 +139,27 @@ def test_spin_synthesis_grid_matches_pixel():
     j_of = np.arange(12 * nside**2) - info["start"][r_of]
     assert np.abs(Qg[r_of, j_of] - Q).max() < 1e-10 * np.abs(Q).max()
     assert np.abs(Ug[r_of, j_of] - U).max() < 1e-10 * np.abs(Q).max()
+
+
+def test_spin_grid_analysis_roundtrip():
+    """Grid-layout spin analysis recovers E/B in the quadrature band."""
+    from cora_tpu.healpix.spin import SpinSHT
+
+    nside, lmax = 16, 32
+    L = lmax + 1
+    rng = np.random.RandomState(1)
+
+    def ralm():
+        a = np.zeros((L, L), np.complex128)
+        for l in range(2, L):
+            a[l, 0] = rng.randn()
+            a[l, 1 : l + 1] = (rng.randn(l) + 1j * rng.randn(l)) / np.sqrt(2)
+        return a
+
+    E, B = ralm(), ralm()
+    op = SpinSHT(nside, lmax, 2, l_chunk=16, legendre_mode="cached")
+    Qg, Ug = op.synthesis_grid(jnp.asarray(E), jnp.asarray(B))
+    E2, B2 = (np.asarray(x) for x in op.analysis_grid(Qg, Ug, 3))
+    band = slice(2, 2 * nside)
+    assert np.abs(E2[band] - E[band]).max() / np.abs(E[band]).max() < 1e-3
+    assert np.abs(B2[band] - B[band]).max() / np.abs(B[band]).max() < 1e-3
