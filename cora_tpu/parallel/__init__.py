@@ -6,6 +6,7 @@ global transposes become sharding constraints inside one jitted program and
 XLA inserts the all-to-all collectives over ICI.
 """
 
+from .distributed import initialize, make_pod_mesh  # noqa: F401
 from .mesh import (  # noqa: F401
     make_mesh,
     mkfullsky_sharded,

@@ -96,3 +96,14 @@ def test_synthesize_cube_sharded_matches_streamed():
     )
     assert cube8.shape == ref.shape
     assert np.abs(cube8 - ref).max() == 0.0
+
+
+@requires_multi
+def test_pod_mesh_shapes():
+    from cora_tpu.parallel.distributed import initialize, make_pod_mesh
+
+    assert initialize() is False  # single-process no-op
+    mesh = make_pod_mesh(freq_hosts=2)
+    assert mesh.shape == {"freq": 2, "band": jax.device_count() // 2}
+    mesh1 = make_pod_mesh(freq_hosts=1)
+    assert mesh1.shape["band"] == jax.device_count()
