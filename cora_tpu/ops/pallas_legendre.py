@@ -43,17 +43,17 @@ def _kernel(lam_ref, are_ref, aim_ref, hre_ref, him_ref):
         hre_ref[:] = jnp.zeros_like(hre_ref)
         him_ref[:] = jnp.zeros_like(him_ref)
 
-    lam = lam_ref[:]  # [LT, RT, MT]
-    # m-lane-batched matmul: contract LT, batch MT.
-    dn = (((1,), (0,)), ((2,), (2,)))  # (contract a.LT with lam.LT; batch MT)
-    # dot_general(a, lam): a [F, LT, MT] × lam [LT, RT, MT] -> [MT, F, RT]
+    # Mosaic requires batch dims at position 0 — transpose tiles m-major
+    # in VMEM, batch-matmul, transpose back.
+    lam = jnp.transpose(lam_ref[:], (2, 0, 1))  # [MT, LT, RT]
+    are = jnp.transpose(are_ref[:], (2, 0, 1))  # [MT, F, LT]
+    aim = jnp.transpose(aim_ref[:], (2, 0, 1))
+    dn = (((2,), (1,)), ((0,), (0,)))  # contract LT; batch MT (pos 0)
     xre = jax.lax.dot_general(
-        are_ref[:], lam, dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+        are, lam, dimension_numbers=dn, preferred_element_type=jnp.float32
     )
     xim = jax.lax.dot_general(
-        aim_ref[:], lam, dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+        aim, lam, dimension_numbers=dn, preferred_element_type=jnp.float32
     )
     hre_ref[:] += jnp.transpose(xre, (1, 2, 0))
     him_ref[:] += jnp.transpose(xim, (1, 2, 0))
