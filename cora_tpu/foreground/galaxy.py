@@ -25,6 +25,7 @@ from ..healpix import pixel as hpx
 from ..healpix import sht as _sht
 from ..healpix import transforms as hputil
 from . import gaussianfg
+from . import skydata
 
 _DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data")
 
@@ -84,8 +85,9 @@ class ConstrainedGalaxy(maps.Sky3d):
     -----
     The shipped sky maps are *synthetic statistical stand-ins* regenerated
     by tools/make_skydata.py (the upstream data blob is stripped from the
-    reference checkout); replace cora_tpu/data/skydata.npz to use the real
-    Haslam/spectral/Faraday maps.
+    reference checkout); to use the real Haslam/spectral/Faraday maps, point
+    the ``CORA_TPU_SKYDATA`` env var at the upstream ``skydata.npz`` (the
+    key schema matches — see cora_tpu.foreground.skydata).
     """
 
     spectral_map = "md"
@@ -93,7 +95,13 @@ class ConstrainedGalaxy(maps.Sky3d):
     _dphi = 1.0
     _maxphi = 500.0
 
+    @on_model_device
     def __init__(self):
+        # model-device scope: the f64 smoothing/analysis here must build its
+        # SHT tables on the host CPU device inside accelerator processes,
+        # matching the (also model-device) getsky/getpolsky calls — mixing
+        # committed devices across the cached SHT tables trips the axon
+        # runtime's broken f64/complex copies.
         self._load_data()
 
         vm = map_variance(_sht.smoothing(self._haslam, sigma=np.radians(0.5)), 16)
@@ -105,14 +113,14 @@ class ConstrainedGalaxy(maps.Sky3d):
         )
 
     def _load_data(self):
-        f = np.load(os.path.join(_DATA_DIR, "skydata.npz"))
-        self._haslam = f["haslam"].astype(np.float64)
+        f = skydata.load_skydata()
+        self._haslam = f["haslam"]
         self._sp_ind = {
-            "gsm": f["spectral_gsm"].astype(np.float64),
-            "md": f["spectral_md"].astype(np.float64),
-            "gd": f["spectral_gd"].astype(np.float64),
+            "gsm": f["spectral_gsm"],
+            "md": f["spectral_md"],
+            "gd": f["spectral_gd"],
         }
-        self._faraday = f["faraday"].astype(np.float64)
+        self._faraday = f["faraday"]
         self._data_nside = hpx.npix2nside(self._haslam.shape[-1])
 
     @on_model_device

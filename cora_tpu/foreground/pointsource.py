@@ -21,13 +21,13 @@ from ..core import maps
 from ..healpix import pixel as hpx
 from . import poisson as ps
 from . import gaussianfg
+from . import skydata
 
 _DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data")
 
 
 def _load_faraday():
-    f = np.load(os.path.join(_DATA_DIR, "skydata.npz"))
-    return f["faraday"]
+    return skydata.load_skydata()["faraday"]
 
 
 def faraday_rotate(polmap, rm_map, frequencies):

@@ -113,7 +113,16 @@ def synthesize_cube_sharded(
     [nz, nring, nq_max] dense ring-grid cube, sharded over frequency.
     """
     from functools import partial
-    from jax.experimental.shard_map import shard_map
+
+    try:  # jax >= 0.8 moved shard_map out of experimental
+        from jax import shard_map as _shard_map
+
+        def shard_map(f, **kw):
+            kw["check_vma"] = kw.pop("check_rep")
+            return _shard_map(f, **kw)
+
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
     from ..healpix.sht import synthesis_scan_correlated
 
     n_dev = mesh.shape[mesh_axis]

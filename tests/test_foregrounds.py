@@ -140,3 +140,33 @@ def test_faraday_rotate_preserves_power():
     pointsource.faraday_rotate(m, rm, np.array([400.0, 600.0, 800.0]))
     P1 = m[:, 1] ** 2 + m[:, 2] ** 2
     assert np.allclose(P0, P1)
+
+
+def test_skydata_loader_env_override(tmp_path, monkeypatch):
+    """CORA_TPU_SKYDATA points at a drop-in (upstream-schema) blob."""
+    from cora_tpu.foreground import skydata
+
+    nside = 4
+    npix = 12 * nside * nside
+    rng = np.random.default_rng(0)
+    blob = {k: rng.standard_normal(npix) for k in skydata.REQUIRED_KEYS}
+    blob["haslam"] = np.abs(blob["haslam"]) + 20.0
+    path = tmp_path / "skydata.npz"
+    np.savez(path, **blob)
+
+    monkeypatch.setenv("CORA_TPU_SKYDATA", str(path))
+    data = skydata.load_skydata()
+    assert data["haslam"].shape == (npix,)
+    np.testing.assert_allclose(data["faraday"], blob["faraday"])
+
+    # missing keys must raise with a schema message
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, haslam=blob["haslam"])
+    monkeypatch.setenv("CORA_TPU_SKYDATA", str(bad))
+    with pytest.raises(KeyError):
+        skydata.load_skydata()
+
+    # default (shipped) blob still loads
+    monkeypatch.delenv("CORA_TPU_SKYDATA")
+    shipped = skydata.load_skydata()
+    assert set(skydata.REQUIRED_KEYS) <= set(shipped)
