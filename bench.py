@@ -72,6 +72,8 @@ def main():
     p.add_argument("--fleg", type=int, default=None,
                    help="frequencies per Legendre-stage chunk (default nfreq)")
     p.add_argument("--lchunk", type=int, default=64)
+    p.add_argument("--capsub", type=int, default=None,
+                   help="frequency sub-batch for the cap Bluestein conv")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -145,7 +147,7 @@ def main():
 
     t0 = time.time()
     op = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm",
-             l_chunk=args.lchunk,
+             l_chunk=args.lchunk, cap_sub=args.capsub,
              lambda_cache=os.path.join(
                  cache_dir, f"lam_{nside}_{args.lchunk}.npz"))
     sht_tables = xfer.put_tree(op.tables(False))

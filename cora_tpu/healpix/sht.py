@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from . import pixel
 from ..ops import fftmm
+from ..util.profiling import stage as _stage
 from ..util.xfer import put as _put
 
 
@@ -103,11 +104,12 @@ def _legendre_contract_streamed(op, t, alm_block_fn, batch_shape, dtype,
     """Streaming variant of :func:`_legendre_contract_cached`.
 
     The alm rows for each parity-packed ℓ-chunk are produced on the fly by
-    ``alm_block_fn(c, off, nrows) -> [..., nrows, L]`` (off indexes the
-    parity-packed ell order: evens then odds) so the full [..., L, L] alm
-    array never materialises in HBM — this is what makes the Nside=512 ×
-    256-channel cube fit on one 16 GB chip (the alm cube alone is 4.8 GB
-    and its draw temporaries triple that).
+    ``alm_block_fn(c, off, nrows, mw) -> [..., nrows, ≥min(mw, L)]`` (off
+    indexes the parity-packed ell order: evens then odds; mw is the
+    chunk's maximum m width — producers need not fill columns beyond it)
+    so the full [..., L, L] alm array never materialises in HBM — this is
+    what makes the Nside=512 × 256-channel cube fit on one 16 GB chip (the
+    alm cube alone is 4.8 GB and its draw temporaries triple that).
     """
     L = op.lmax + 1
     nh = op.nhalf
@@ -125,7 +127,7 @@ def _legendre_contract_streamed(op, t, alm_block_fn, batch_shape, dtype,
     ):
         mw = min(lam_c.shape[-1], L)
         off = sub_lo + (0 if parity == 0 else ne)
-        alm_blk = alm_block_fn(c, off, nrows)[..., :mw]
+        alm_blk = alm_block_fn(c, off, nrows, mw)[..., :mw]
         lam = lam_c[:nrows, :, :mw].astype(alm_blk.real.dtype)
         # λ is structurally zero for m > l, killing the m > l noise terms.
         X = jnp.einsum("lrm,...lm->...rm", lam, alm_blk, precision=op.precision)
@@ -180,23 +182,28 @@ def synthesis_grid_correlated(op, t, roots, key, z_lo, nz_chunk):
     # parity-packed ell order (matches the Λ chunk layout)
     roots_p = jnp.concatenate([roots[0::2], roots[1::2]], axis=0)
 
-    def alm_blk(c, off, nrows):
-        kc = jax.random.fold_in(key, c)
-        kr, ki = jax.random.split(kc)
-        shape = (nrows, nz, L)
-        xi = (
-            jax.random.normal(kr, shape, jnp.float32)
-            + 1j * jax.random.normal(ki, shape, jnp.float32)
-        ) * jnp.asarray(0.70710678, jnp.float32)
-        rblk = lax.dynamic_slice(
-            roots_p, (off, z_lo, 0), (nrows, nz_chunk, nz)
-        ).astype(jnp.complex64)
-        a = jnp.einsum("lzy,lym->lzm", rblk, xi)
-        return jnp.moveaxis(a, 0, 1)  # [nz_chunk, nrows, M]
+    def alm_blk(c, off, nrows, mw):
+        with _stage("draw"):
+            # only m < mw feeds this chunk's λ (λ ≡ 0 for m > l): drawing
+            # the triangle instead of the full [*, L] square halves the
+            # step's total RNG volume
+            kc = jax.random.fold_in(key, c)
+            kr, ki = jax.random.split(kc)
+            shape = (nrows, nz, mw)
+            xi = (
+                jax.random.normal(kr, shape, jnp.float32)
+                + 1j * jax.random.normal(ki, shape, jnp.float32)
+            ) * jnp.asarray(0.70710678, jnp.float32)
+            rblk = lax.dynamic_slice(
+                roots_p, (off, z_lo, 0), (nrows, nz_chunk, nz)
+            ).astype(jnp.complex64)
+            a = jnp.einsum("lzy,lym->lzm", rblk, xi)
+            return jnp.moveaxis(a, 0, 1)  # [nz_chunk, nrows, mw]
 
-    G = _legendre_contract_streamed(
-        op, t, alm_blk, (nz_chunk,), jnp.complex64
-    )
+    with _stage("legendre"):
+        G = _legendre_contract_streamed(
+            op, t, alm_blk, (nz_chunk,), jnp.complex64
+        )
     return _rings_to_grid(op, t, G)
 
 
@@ -208,23 +215,26 @@ def _correlated_GeGo(op, t, roots_p, key, z_lo, nz_chunk):
     L = op.lmax + 1
     nz = roots_p.shape[-1]
 
-    def alm_blk(c, off, nrows):
-        kc = jax.random.fold_in(key, c)
-        kr, ki = jax.random.split(kc)
-        shape = (nrows, nz, L)
-        xi = (
-            jax.random.normal(kr, shape, jnp.float32)
-            + 1j * jax.random.normal(ki, shape, jnp.float32)
-        ) * jnp.asarray(0.70710678, jnp.float32)
-        rblk = lax.dynamic_slice(
-            roots_p, (off, z_lo, 0), (nrows, nz_chunk, nz)
-        ).astype(jnp.complex64)
-        a = jnp.einsum("lzy,lym->lzm", rblk, xi)
-        return jnp.moveaxis(a, 0, 1)
+    def alm_blk(c, off, nrows, mw):
+        with _stage("draw"):
+            # triangle draw: see synthesis_grid_correlated.alm_blk
+            kc = jax.random.fold_in(key, c)
+            kr, ki = jax.random.split(kc)
+            shape = (nrows, nz, mw)
+            xi = (
+                jax.random.normal(kr, shape, jnp.float32)
+                + 1j * jax.random.normal(ki, shape, jnp.float32)
+            ) * jnp.asarray(0.70710678, jnp.float32)
+            rblk = lax.dynamic_slice(
+                roots_p, (off, z_lo, 0), (nrows, nz_chunk, nz)
+            ).astype(jnp.complex64)
+            a = jnp.einsum("lzy,lym->lzm", rblk, xi)
+            return jnp.moveaxis(a, 0, 1)
 
-    return _legendre_contract_streamed(
-        op, t, alm_blk, (nz_chunk,), jnp.complex64, expand=False
-    )
+    with _stage("legendre"):
+        return _legendre_contract_streamed(
+            op, t, alm_blk, (nz_chunk,), jnp.complex64, expand=False
+        )
 
 
 def synthesis_scan_correlated(op, t, roots, key, nz_leg, nz_ring, consume,
@@ -565,6 +575,73 @@ def _fftW_last(op, t, x, inverse=False):
     return jnp.fft.fft(x, axis=-1)
 
 
+def _cap_real_synth(op, t, Gcap):
+    """Polar-cap real synthesis via the generalized Bluestein convolution."""
+    cdtype = Gcap.dtype
+    nq_cap = t["bl_C_cap"].shape[-1]
+    a = Gcap * t["bl_A_cap"].astype(cdtype)
+    L_in = a.shape[-1]
+    pad = op.nfft2 - a.shape[-1]
+    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+    conv = _fft2_last(
+        op, t,
+        _fft2_last(op, t, a, in_len=L_in) * t["bl_Bf_cap"].astype(cdtype),
+        inverse=True, out_len=nq_cap,
+    )
+    S = conv[..., :nq_cap] * t["bl_C_cap"].astype(cdtype)
+    valid = (t["bl_C_cap"] != 0.0).astype(S.real.dtype)
+    return 2.0 * S.real - Gcap[..., 0:1].real * valid
+
+
+def _cap_sub_batched(op, fn, t, Gcap):
+    """Run a per-row cap transform in frequency sub-batches of op.cap_sub.
+
+    The cap Bluestein convolution's nfft2-padded temporaries dominate the
+    ring stage's HBM peak; sequencing it over sub-batches (lax.map = scan)
+    bounds the live set so larger frequency chunks fit on-chip.  No-op
+    (single fused batch) when cap_sub is unset or doesn't divide the batch.
+    """
+    s = op.cap_sub
+    if s and Gcap.ndim == 3 and Gcap.shape[0] > s and Gcap.shape[0] % s == 0:
+        k = Gcap.shape[0] // s
+        Gr = Gcap.reshape((k, s) + Gcap.shape[1:])
+        out = jax.lax.map(lambda g: fn(op, t, g), Gr)
+        return out.reshape((Gcap.shape[0],) + out.shape[2:])
+    return fn(op, t, Gcap)
+
+
+def _eq_real_synth(op, t, A, G0):
+    """Real equatorial-band synthesis f = 2·Re Σ_k A_k e^{2πikj/W} − G0
+    via Hermitian packing: one complex inverse DFT at W/2.
+
+    2·Re S is the inverse DFT of the Hermitian spectrum
+    B_k = A_k + conj(A_{(−k) mod W}); the classic rfft packing evaluates it
+    with a half-length complex transform (z_n = f_{2n} + i f_{2n+1}), which
+    in matmul-FFT form costs ~3× fewer twiddle MACs than the complex IDFT
+    at W.
+    """
+    cdtype = A.dtype
+    W = 4 * op.nside
+    W2 = W // 2
+
+    A_rev = jnp.roll(A[..., ::-1], 1, axis=-1)  # A[(−k) mod W]
+    B = A + jnp.conj(A_rev)
+    B1 = B[..., :W2]
+    B2 = B[..., W2:]
+    Z = (B1 + B2) + 1j * t["eq_twid"].astype(cdtype) * (B1 - B2)
+
+    # unnormalised positive-exponent DFT of length W/2
+    if op.fft_mode == "mm":
+        n1, n2 = op._fftW2_n1n2
+        tab = {"W1": t["ifftW2W1"], "T": t["ifftW2T"], "W2": t["ifftW2W2"]}
+        z = fftmm._apply(Z, tab, n1, n2, op.precision)
+    else:
+        z = jnp.fft.ifft(Z, axis=-1) * W2
+
+    f = jnp.stack([z.real, z.imag], axis=-1).reshape(z.shape[:-1] + (W,))
+    return f - G0
+
+
 def _rings_to_grid_split(op, t, G):
     """Ring synthesis with the equatorial fast path.
 
@@ -579,37 +656,29 @@ def _rings_to_grid_split(op, t, G):
     W = 4 * op.nside
     nq_max = t["bl_C"].shape[-1]
 
-    # --- equatorial band: direct inverse DFT at W
-    A = G[..., lo:hi, :] * t["eq_phase"].astype(cdtype)
-    Lp = A.shape[-1]
-    if Lp % W:
-        A = jnp.pad(A, [(0, 0)] * (A.ndim - 1) + [(0, W - Lp % W)])
-    A = A.reshape(A.shape[:-1] + (-1, W)).sum(axis=-2)  # alias m mod W
-    Seq = _fftW_last(op, t, A, inverse=True) * W
-    feq = 2.0 * Seq.real - G[..., lo:hi, 0:1].real
-    if nq_max > W:
-        feq = jnp.pad(feq, [(0, 0)] * (feq.ndim - 1) + [(0, nq_max - W)])
+    # --- equatorial band: Hermitian-packed real inverse DFT at W/2
+    with _stage("ring_eq"):
+        A = G[..., lo:hi, :] * t["eq_phase"].astype(cdtype)
+        Lp = A.shape[-1]
+        if Lp % W:
+            A = jnp.pad(A, [(0, 0)] * (A.ndim - 1) + [(0, W - Lp % W)])
+        A = A.reshape(A.shape[:-1] + (-1, W)).sum(axis=-2)  # alias m mod W
+        feq = _eq_real_synth(op, t, A, G[..., lo:hi, 0:1].real)
+        if nq_max > W:
+            feq = jnp.pad(feq, [(0, 0)] * (feq.ndim - 1) + [(0, nq_max - W)])
 
     if lo == 0 and hi == op.nring:
         return feq
 
     # --- polar caps: generalized Bluestein on the cap rows only
-    Gcap = jnp.concatenate([G[..., :lo, :], G[..., hi:, :]], axis=-2)
-    nq_cap = t["bl_C_cap"].shape[-1]
-    a = Gcap * t["bl_A_cap"].astype(cdtype)
-    L_in = a.shape[-1]
-    pad = op.nfft2 - a.shape[-1]
-    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
-    conv = _fft2_last(
-        op, t,
-        _fft2_last(op, t, a, in_len=L_in) * t["bl_Bf_cap"].astype(cdtype),
-        inverse=True, out_len=nq_cap,
-    )
-    S = conv[..., :nq_cap] * t["bl_C_cap"].astype(cdtype)
-    valid = (t["bl_C_cap"] != 0.0).astype(S.real.dtype)
-    fcap = 2.0 * S.real - Gcap[..., 0:1].real * valid
-    if nq_max > nq_cap:
-        fcap = jnp.pad(fcap, [(0, 0)] * (fcap.ndim - 1) + [(0, nq_max - nq_cap)])
+    with _stage("ring_cap"):
+        Gcap = jnp.concatenate([G[..., :lo, :], G[..., hi:, :]], axis=-2)
+        nq_cap = t["bl_C_cap"].shape[-1]
+        fcap = _cap_sub_batched(op, _cap_real_synth, t, Gcap)
+        if nq_max > nq_cap:
+            fcap = jnp.pad(
+                fcap, [(0, 0)] * (fcap.ndim - 1) + [(0, nq_max - nq_cap)]
+            )
 
     return jnp.concatenate(
         [fcap[..., :lo, :], feq, fcap[..., lo:, :]], axis=-2
@@ -832,6 +901,7 @@ class SHT:
         ring_mode: str = "split",
         precision: str = "highest",
         lambda_cache: str | None = None,
+        cap_sub: int | None = None,
     ):
         self.nside = int(nside)
         self.lmax = int(lmax)
@@ -841,6 +911,9 @@ class SHT:
         self.cache_dtype = cache_dtype
         self.fft_mode = fft_mode
         self.ring_mode = ring_mode
+        # frequency sub-batch width for the cap Bluestein convolution
+        # (bounds ring-stage HBM peak; see _cap_sub_batched)
+        self.cap_sub = int(cap_sub) if cap_sub else None
         # matmul precision for the deterministic transform contractions:
         # TPU f32 einsums default to bf16 passes (~5e-3 map RMS); "highest"
         # restores true f32 and meets the 1e-5 accuracy contract
@@ -976,6 +1049,12 @@ class SHT:
         )
         self._fftmmW_tabs = fftmm.dft_tables(W, dtype=np.complex128)
         self._fftW_n1n2 = self._fftmmW_tabs["n1n2"]
+        # half-length tables for the real-output equatorial synthesis: the
+        # Hermitian-packed inverse DFT runs at W/2 (~3x fewer twiddle MACs
+        # in matmul form than the complex IDFT at W)
+        self._fftmmW2_tabs = fftmm.dft_tables(W // 2, dtype=np.complex128)
+        self._fftW2_n1n2 = self._fftmmW2_tabs["n1n2"]
+        self._eq_twid = np.exp(2j * np.pi * np.arange(W // 2) / W)
         lo, hi = self._eq_lo, self._eq_hi
         nq_cap = int(self._nq[: lo].max()) if lo else 0
         self._bl_A_cap = np.concatenate([self._bl_A[:lo], self._bl_A[hi:]], 0)
@@ -1170,6 +1249,9 @@ class SHT:
             for key, tab in [("fftW", "fwd"), ("ifftW", "inv")]:
                 for nm in ("W1", "T", "W2"):
                     t[key + nm] = put(self._fftmmW_tabs[tab][nm].astype(cdt))
+            for nm in ("W1", "T", "W2"):
+                t["ifftW2" + nm] = put(self._fftmmW2_tabs["inv"][nm].astype(cdt))
+            t["eq_twid"] = put(self._eq_twid.astype(cdt))
         for key, tab in [("fft2", "fwd"), ("ifft2", "inv")]:
             for nm in ("W1", "T", "W2"):
                 t[key + nm] = put(self._fftmm2_tabs[tab][nm].astype(cdt))

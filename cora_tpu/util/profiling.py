@@ -51,3 +51,15 @@ def annotate(name: str):
     import jax
 
     return jax.profiler.TraceAnnotation(name)
+
+
+def stage(name: str):
+    """Name a traced sub-region of a jitted program (jax.named_scope).
+
+    Zero runtime cost: the name lands in HLO op metadata, so XLA profiles
+    (``timed`` with a trace dir, or ``jax.profiler``) attribute device time
+    to synthesis stages (draw / legendre / ring_eq / ring_cap / ...).
+    """
+    import jax
+
+    return jax.named_scope(name)

@@ -163,18 +163,20 @@ def test_streamed_correlated_synthesis_matches_explicit():
     # replicate the packed-chunk xi scheme: chunk c covers the ells of one
     # parity (evens first), fold_in(key, c) supplies its white noise
     alm = np.zeros((nz, L, L), dtype=np.complex64)
-    for c, (parity, sub_lo, nrows, _) in enumerate(op._lam_meta):
+    for c, (parity, sub_lo, nrows, mw_meta) in enumerate(op._lam_meta):
+        mw = min(mw_meta, L)
         ells = parity + 2 * (sub_lo + np.arange(nrows))
         kc = jax.random.fold_in(key, c)
         kr, ki = jax.random.split(kc)
+        # triangle draw: the library only generates the m < mw columns
         xi = (
-            jax.random.normal(kr, (nrows, nz, L), jnp.float32)
-            + 1j * jax.random.normal(ki, (nrows, nz, L), jnp.float32)
+            jax.random.normal(kr, (nrows, nz, mw), jnp.float32)
+            + 1j * jax.random.normal(ki, (nrows, nz, mw), jnp.float32)
         ) * 0.70710678
         blk = jnp.einsum(
             "lzy,lym->lzm", jnp.asarray(roots)[ells].astype(jnp.complex64), xi
         )
-        alm[:, ells, :] = np.moveaxis(np.asarray(blk), 0, 1)
+        alm[:, ells, :mw] = np.moveaxis(np.asarray(blk), 0, 1)
     alm = jnp.asarray(alm) * (
         jnp.arange(L)[None, :] <= jnp.arange(L)[:, None]
     )[None, :, :]
@@ -215,6 +217,14 @@ def test_split_ring_mode_matches_bluestein():
     Gb = np.asarray(_grid_to_rings(op_b, tb, jnp.asarray(fg), jnp.complex128))
     Gs = np.asarray(_grid_to_rings(op_s, ts, jnp.asarray(fg), jnp.complex128))
     assert np.abs(Gb - Gs).max() < 1e-11 * np.abs(Gb).max()
+
+    # cap-conv sub-batching (HBM-bounding lax.map) must be bit-equivalent
+    # up to reduction order
+    op_c = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm",
+               ring_mode="split", cap_sub=1)
+    tc = op_c.tables(True)
+    gc = np.asarray(_synthesis_grid(op_c, tc, jnp.asarray(alm)))
+    assert np.abs(gc - gs).max() < 1e-12 * np.abs(gs).max()
 
 
 def test_analysis_cg_beats_jacobi():
