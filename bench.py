@@ -156,9 +156,9 @@ def main():
 
     fchunk = min(args.fchunk, nfreq)
     # default Legendre-stage width: all frequencies when the working set
-    # fits HBM (nside <= 256), else one-level (fleg > fchunk OOMs at 512
-    # on 16 GB: Ge/Go accumulators + Λ table)
-    fleg_default = nfreq if nside <= 256 else fchunk
+    # fits HBM (nside <= 256), else 2×fchunk (fleg=64 fits at 512 on 16 GB
+    # since the triangle draw; fleg=128 exceeds HBM by ~0.25 GB)
+    fleg_default = nfreq if nside <= 256 else 2 * fchunk
     fleg = min(args.fleg or fleg_default, nfreq)
     fleg = max(fleg - fleg % fchunk, fchunk)
     while nfreq % fleg:

@@ -76,11 +76,11 @@ def _legendre_contract_cached(op, t, alm):
     midx = jnp.arange(L)[None, :]
 
     for (parity, sub_lo, nrows, _), lam_c in zip(op._lam_meta, t["lam"]):
-        mw = min(lam_c.shape[-1], L)
+        mw = min(lam_c.shape[0], L)
         off = sub_lo + (0 if parity == 0 else ne)
         ablk = alm_p[..., off : off + nrows, :mw]
-        lam = lam_c[:nrows, :, :mw].astype(alm.real.dtype)
-        X = jnp.einsum("lrm,...lm->...rm", lam, ablk, precision=op.precision)
+        lam = lam_c[:mw, :nrows, :].astype(alm.real.dtype)
+        X = jnp.einsum("mlr,...lm->...rm", lam, ablk, precision=op.precision)
         if parity == 0:
             H0 = H0.at[..., :mw].add(X)
         else:
@@ -125,12 +125,12 @@ def _legendre_contract_streamed(op, t, alm_block_fn, batch_shape, dtype,
     for c, ((parity, sub_lo, nrows, _), lam_c) in enumerate(
         zip(op._lam_meta, t["lam"])
     ):
-        mw = min(lam_c.shape[-1], L)
+        mw = min(lam_c.shape[0], L)
         off = sub_lo + (0 if parity == 0 else ne)
         alm_blk = alm_block_fn(c, off, nrows, mw)[..., :mw]
-        lam = lam_c[:nrows, :, :mw].astype(alm_blk.real.dtype)
+        lam = lam_c[:mw, :nrows, :].astype(alm_blk.real.dtype)
         # λ is structurally zero for m > l, killing the m > l noise terms.
-        X = jnp.einsum("lrm,...lm->...rm", lam, alm_blk, precision=op.precision)
+        X = jnp.einsum("mlr,...lm->...rm", lam, alm_blk, precision=op.precision)
         if parity == 0:
             H0 = H0.at[..., :mw].add(X)
         else:
@@ -300,10 +300,10 @@ def _legendre_project_cached(op, t, G):
 
     parts = {0: [], 1: []}
     for (parity, sub_lo, nrows, _), lam_c in zip(op._lam_meta, t["lam"]):
-        mw = min(lam_c.shape[-1], L)
-        lam = lam_c[:nrows, :, :mw].astype(G.real.dtype)
+        mw = min(lam_c.shape[0], L)
+        lam = lam_c[:mw, :nrows, :].astype(G.real.dtype)
         srcg = src_even if parity == 0 else src_odd
-        out = jnp.einsum("lrm,...rm->...lm", lam, srcg[..., :mw], precision=op.precision)
+        out = jnp.einsum("mlr,...rm->...lm", lam, srcg[..., :mw], precision=op.precision)
         pad = L - mw
         if pad:
             out = jnp.pad(out, [(0, 0)] * (out.ndim - 2) + [(0, 0), (0, pad)])
@@ -1256,8 +1256,15 @@ class SHT:
             for nm in ("W1", "T", "W2"):
                 t[key + nm] = put(self._fftmm2_tabs[tab][nm].astype(cdt))
         if self._lam_host is not None:
+            # device layout [mw, nrows, nh] (m-major, rings minor): matches
+            # the layout XLA assigns the contraction operand, so the chunks
+            # are consumed in place — the row-major [nrows, nh, mw] form
+            # gets copied (~Λ-sized HLO temps) inside every sweep
             t["lam"] = tuple(
-                put(c_.astype(self.cache_dtype)) for c_ in self._lam_host
+                put(np.ascontiguousarray(
+                    c_.astype(self.cache_dtype).transpose(2, 0, 1)
+                ))
+                for c_ in self._lam_host
             )
         else:
             t["rec_a"] = put(self._rec_a.astype(fdt))

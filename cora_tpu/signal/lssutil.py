@@ -19,6 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..util import interpolation as cs
+from ..util import xfer
 from ..healpix import pixel as hpx
 from ..healpix import sht as _sht
 from ..healpix import transforms as hputil
@@ -144,7 +145,7 @@ def laplacian(maps: np.ndarray, x: np.ndarray) -> np.ndarray:
     nside = hpx.npix2nside(maps.shape[1])
     lmax = 3 * nside - 1
 
-    alms = np.array(_sht.map2alm(maps, lmax, 3))
+    alms = xfer.get(_sht.map2alm(maps, lmax, 3))
     ell = np.arange(lmax + 1)[:, None]
     alms *= -ell * (ell + 1)
 
@@ -170,12 +171,13 @@ def gradient(maps: np.ndarray, x: np.ndarray, grad0: bool = True) -> np.ndarray:
 
     grad = np.zeros((3,) + maps.shape, dtype=maps.dtype)
 
-    alm = np.array(_sht.map2alm(maps, lmax, 3))
+    alm = xfer.get(_sht.map2alm(maps, lmax, 3))
     ell = np.arange(lmax + 1)[:, None]
     almE = alm * np.sqrt(ell * (ell + 1.0))
 
     op = _spin.get_spin_sht(nside, lmax, 1)
-    dth, dph = op.synthesis(jnp.asarray(-almE), jnp.zeros_like(jnp.asarray(almE)))
+    aE = xfer.put(-almE)  # complex H2D through the transfer shim
+    dth, dph = op.synthesis(aE, xfer.zeros_like(aE))
     grad[1] = np.asarray(dth) / x[:, np.newaxis]
     grad[2] = np.asarray(dph) / x[:, np.newaxis]
 
@@ -217,14 +219,14 @@ def pk_flat(
     L = N * dx
 
     cn = np.fft.rfft(maps, axis=0) / N
-    almn = np.array([hputil.sphtrans_complex(m, lmax) for m in cn])
+    almn = np.array([xfer.get(hputil.sphtrans_complex(m, lmax)) for m in cn])
 
     ell = np.arange(lmax + 1)
     if maps2 is None:
         cln = (np.abs(almn) ** 2).sum(axis=-1)
     else:
         cn2 = np.fft.rfft(maps2, axis=0) / N
-        almn2 = np.array([hputil.sphtrans_complex(m, lmax) for m in cn2])
+        almn2 = np.array([xfer.get(hputil.sphtrans_complex(m, lmax)) for m in cn2])
         cln = (almn * almn2.conj()).sum(axis=-1).real
 
     cln /= (2 * ell + 1)[np.newaxis, :]
@@ -260,7 +262,7 @@ def corrfunc(
 
     # cross-spectra between shells separated by a fixed number of slices
     nx = len(chi)
-    alm = np.array(_sht.map2alm(maps, lmax, 3))
+    alm = xfer.get(_sht.map2alm(maps, lmax, 3))
 
     xxp = []
     cl_list = []

@@ -69,6 +69,14 @@ def put_tree(tree, device=None):
 
 
 @jax.jit
+def zeros_like(x):
+    """Jitted zeros_like: eager complex full() hits the broken-runtime
+    path on axon (apply_primitive transfers the complex scalar host→device);
+    under jit the constant materialises on device."""
+    return jnp.zeros_like(x)
+
+
+@jax.jit
 def _re(x):
     return jnp.real(x)
 
