@@ -74,6 +74,9 @@ def main():
     p.add_argument("--lchunk", type=int, default=64)
     p.add_argument("--capsub", type=int, default=None,
                    help="frequency sub-batch for the cap Bluestein conv")
+    p.add_argument("--legmode", default="cached", choices=["cached", "scan"],
+                   help="Legendre stage: cached MXU table or Λ-free "
+                        "checkpointed scan (enables Nside >= 1024)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -146,8 +149,11 @@ def main():
               file=sys.stderr)
 
     t0 = time.time()
-    op = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm",
+    op = SHT(nside, lmax, legendre_mode=args.legmode, fft_mode="mm",
              l_chunk=args.lchunk, cap_sub=args.capsub,
+             scan_ckpt=args.legmode == "scan",
+             ckpt_cache=os.path.join(
+                 cache_dir, f"ck_{nside}_{args.lchunk}.npz"),
              lambda_cache=os.path.join(
                  cache_dir, f"lam_{nside}_{args.lchunk}.npz"))
     sht_tables = xfer.put_tree(op.tables(False))

@@ -266,11 +266,16 @@ def _ang2pix_jax(nside, theta, phi):
     npix = 12 * nside * nside
     ncap = 2 * nside * (nside - 1)
 
+    # index dtype: int32 holds every intermediate up to nside=8192
+    # (npix < 2^31); avoids the silent int64->int32 truncation warning in
+    # non-x64 accelerator processes
+    idt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+
     # equatorial
     temp1 = nside * (0.5 + tt)
     temp2 = nside * 0.75 * z
-    jp_e = jnp.floor(temp1 - temp2).astype(jnp.int64)
-    jm_e = jnp.floor(temp1 + temp2).astype(jnp.int64)
+    jp_e = jnp.floor(temp1 - temp2).astype(idt)
+    jm_e = jnp.floor(temp1 + temp2).astype(idt)
     ir_e = nside + 1 + jp_e - jm_e
     kshift = 1 - (ir_e & 1)
     ip_e = jnp.mod((jp_e + jm_e - nside + kshift + 1) // 2, 4 * nside)
@@ -279,10 +284,10 @@ def _ang2pix_jax(nside, theta, phi):
     # polar caps
     tp = tt - jnp.floor(tt)
     tmp = nside * jnp.sqrt(jnp.maximum(3.0 * (1.0 - za), 0.0))
-    jp_c = (tp * tmp).astype(jnp.int64)
-    jm_c = ((1.0 - tp) * tmp).astype(jnp.int64)
+    jp_c = (tp * tmp).astype(idt)
+    jm_c = ((1.0 - tp) * tmp).astype(idt)
     ir_c = jp_c + jm_c + 1
-    ip_c = jnp.mod((tt * ir_c).astype(jnp.int64), 4 * ir_c)
+    ip_c = jnp.mod((tt * ir_c).astype(idt), 4 * ir_c)
     pix_n = 2 * ir_c * (ir_c - 1) + ip_c
     pix_s = npix - 2 * ir_c * (ir_c + 1) + ip_c
     pix_cap = jnp.where(z > 0, pix_n, pix_s)

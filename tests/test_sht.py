@@ -246,3 +246,83 @@ def test_analysis_cg_beats_jacobi():
     err_c = np.linalg.norm(cg[1:] - alm[1:])
     assert err_c <= err_j * 1.05
     assert err_c / np.linalg.norm(alm[1:]) < 2e-3
+
+
+def test_scan_streamed_correlated_matches_explicit():
+    """The Λ-free (scan-mode) streamed draw+synthesis must equal drawing
+    the same alm explicitly (consecutive-ℓ fold_in scheme) and
+    synthesizing through the scan path."""
+    import jax
+    from cora_tpu.healpix.sht import SHT, _synthesis_grid, synthesis_grid_correlated
+
+    nside, nz, fchunk = 16, 8, 4
+    lmax = 3 * nside - 1
+    L = lmax + 1
+    op = SHT(nside, lmax, legendre_mode="scan", fft_mode="mm", l_chunk=16,
+             scan_ckpt=True)
+    t = op.tables(False)
+    assert "lam" not in t and "lam_ck" in t
+    rng = np.random.RandomState(0)
+    roots = jnp.asarray(rng.randn(L, nz, nz).astype(np.float32) * 0.1)
+    key = jax.random.PRNGKey(3)
+
+    lc = op.l_chunk
+    nchunk = -(-L // lc)
+    alm = np.zeros((nz, L, L), dtype=np.complex64)
+    for c in range(nchunk):
+        l0 = c * lc
+        nrows = min(lc, L - l0)
+        mw = min(L, ((l0 + nrows + 127) // 128) * 128)
+        kc = jax.random.fold_in(key, c)
+        kr, ki = jax.random.split(kc)
+        xi = (
+            jax.random.normal(kr, (nrows, nz, mw), jnp.float32)
+            + 1j * jax.random.normal(ki, (nrows, nz, mw), jnp.float32)
+        ) * 0.70710678
+        blk = jnp.einsum(
+            "lzy,lym->lzm",
+            jnp.asarray(roots)[l0 : l0 + nrows].astype(jnp.complex64), xi,
+        )
+        alm[:, l0 : l0 + nrows, :mw] = np.moveaxis(np.asarray(blk), 0, 1)
+    alm = jnp.asarray(alm) * (
+        jnp.arange(L)[None, :] <= jnp.arange(L)[:, None]
+    )[None, :, :]
+    ref = np.asarray(_synthesis_grid(op, t, alm.astype(jnp.complex64)))
+
+    out = np.concatenate(
+        [
+            np.asarray(synthesis_grid_correlated(op, t, roots, key, i, fchunk))
+            for i in range(0, nz, fchunk)
+        ],
+        axis=0,
+    )
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() < 1e-5
+
+
+def test_checkpointed_scan_f32_accuracy():
+    """Scaled + checkpointed f32 scan recurrence vs exact f64 scan."""
+    from cora_tpu.healpix.sht import SHT, _synthesis_grid
+
+    nside = 64
+    lmax = 3 * nside - 1
+    L = lmax + 1
+    rng = np.random.RandomState(1)
+    alm = (rng.randn(1, L, L) + 1j * rng.randn(1, L, L)) * (
+        np.arange(L)[None, None, :] <= np.arange(L)[None, :, None]
+    )
+    op64 = SHT(nside, lmax, legendre_mode="scan", fft_mode="xla", l_chunk=16)
+    g64 = np.asarray(_synthesis_grid(op64, op64.tables(True), jnp.asarray(alm)))[0]
+    op32 = SHT(nside, lmax, legendre_mode="scan", fft_mode="xla", l_chunk=16,
+               scan_ckpt=True)
+    g32 = np.asarray(
+        _synthesis_grid(op32, op32.tables(False), jnp.asarray(alm).astype(jnp.complex64))
+    )[0]
+    nq = op64._nq
+    mask = np.zeros(g64.shape, dtype=bool)
+    for r in range(op64.nring):
+        mask[r, : nq[r]] = True
+    d = (g32 - g64)[mask]
+    ref = g64[mask]
+    rms = float(np.sqrt((d**2).mean()) / np.sqrt((ref**2).mean()))
+    assert rms < 1e-5
