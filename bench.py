@@ -22,13 +22,14 @@ import jax.numpy as jnp
 
 
 LADDER = [
-    # (nside, nfreq, fchunk, subprocess timeout s) — largest first; the
-    # orchestrator emits the JSON line of the largest config that completes
-    # (the axon TPU service can fail transiently; see tools/ probes).
-    (512, 256, 32, 1700),
-    (256, 64, 32, 700),
-    (128, 32, 16, 600),
-    (64, 32, 16, 500),
+    # (nside, nfreq, fchunk, fleg, lchunk, subprocess timeout s) — largest
+    # first; the orchestrator emits the JSON line of the largest config that
+    # completes (the axon TPU service can fail transiently; see tools/).
+    # 512 config tuned on v5e: 0.85 s (sweeps in tools/tpu_*.log).
+    (512, 256, 8, 128, 256, 1700),
+    (256, 64, 32, 64, 64, 700),
+    (128, 32, 16, 32, 64, 600),
+    (64, 32, 16, 32, 64, 500),
 ]
 
 
@@ -36,11 +37,12 @@ def orchestrate():
     """Run the ladder in worker subprocesses; print the first JSON result."""
     import subprocess
 
-    for nside, nfreq, fchunk, tmo in LADDER:
+    for nside, nfreq, fchunk, fleg, lchunk, tmo in LADDER:
         cmd = [
             sys.executable, __file__,
             "--nside", str(nside), "--nfreq", str(nfreq),
-            "--fchunk", str(fchunk), "--repeats", "2",
+            "--fchunk", str(fchunk), "--fleg", str(fleg),
+            "--lchunk", str(lchunk), "--repeats", "2",
         ]
         print(f"# trying Nside={nside} x {nfreq} (timeout {tmo}s)",
               file=sys.stderr)
