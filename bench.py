@@ -25,8 +25,8 @@ LADDER = [
     # (nside, nfreq, fchunk, fleg, lchunk, subprocess timeout s) — largest
     # first; the orchestrator emits the JSON line of the largest config that
     # completes (the axon TPU service can fail transiently; see tools/).
-    # 512 config tuned on v5e: 0.85 s (sweeps in tools/tpu_*.log).
-    (512, 256, 8, 128, 256, 1700),
+    # 512 config tuned on v5e: 0.76 s (sweeps in tools/tpu_*.log).
+    (512, 256, 4, 128, 256, 1700),
     (256, 64, 32, 64, 64, 700),
     (128, 32, 16, 32, 64, 600),
     (64, 32, 16, 32, 64, 500),

@@ -284,6 +284,10 @@ def mkfullsky_streamed(corr, nside, key=None, fchunk=16):
     All chunks share one white-noise realisation (same key), so
     concatenating the yields equals a single `mkfullsky` draw of the whole
     cube statistically.
+
+    Above nside=512 the cached Λ table no longer fits HBM (38 GB at
+    nside=1024); the Λ-free checkpointed-scan Legendre mode is selected
+    automatically (validated single-chip at Nside=1024 × 64 channels).
     """
     from .. import native
     from ..healpix import pixel as _pixel
@@ -311,8 +315,11 @@ def mkfullsky_streamed(corr, nside, key=None, fchunk=16):
     )[..., None]
     roots_d = xfer.put(roots.astype(np.float32))
 
+    big = int(nside) > 512  # cached Λ exceeds single-chip HBM beyond 512
     op = SHT(
-        int(nside), int(lmax), legendre_mode="cached",
+        int(nside), int(lmax),
+        legendre_mode="scan" if big else "cached",
+        scan_ckpt=big,
         fft_mode="xla" if jax.default_backend() == "cpu" else "mm",
     )
     tables = op.tables(False)

@@ -1631,16 +1631,20 @@ def get_sht(
 ) -> SHT:
     """Cached SHT operator.
 
-    Defaults: "cached" Legendre + matmul FFT on accelerators, "scan" +
-    XLA FFT on CPU.
+    Defaults: "cached" Legendre + matmul FFT on accelerators ("scan" +
+    XLA FFT on CPU); above nside=512 the cached Λ table exceeds
+    single-chip HBM, so accelerators switch to the Λ-free checkpointed
+    scan automatically.
     """
     on_cpu = jax.default_backend() == "cpu"
+    big = nside > 512
     if legendre_mode is None:
-        legendre_mode = "scan" if on_cpu else "cached"
+        legendre_mode = "scan" if (on_cpu or big) else "cached"
     if fft_mode is None:
         fft_mode = "xla" if on_cpu else "mm"
     return SHT(
-        nside, lmax, l_chunk=l_chunk, legendre_mode=legendre_mode, fft_mode=fft_mode
+        nside, lmax, l_chunk=l_chunk, legendre_mode=legendre_mode,
+        fft_mode=fft_mode, scan_ckpt=legendre_mode == "scan" and not on_cpu,
     )
 
 
