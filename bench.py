@@ -79,6 +79,9 @@ def main():
     p.add_argument("--legmode", default="cached", choices=["cached", "scan"],
                    help="Legendre stage: cached MXU table or Λ-free "
                         "checkpointed scan (enables Nside >= 1024)")
+    p.add_argument("--ckevery", type=int, default=1,
+                   help="scan mode: re-seed every k-th ell chunk "
+                        "(table 1/k the size)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -153,9 +156,9 @@ def main():
     t0 = time.time()
     op = SHT(nside, lmax, legendre_mode=args.legmode, fft_mode="mm",
              l_chunk=args.lchunk, cap_sub=args.capsub,
-             scan_ckpt=args.legmode == "scan",
+             scan_ckpt=args.legmode == "scan", ckpt_every=args.ckevery,
              ckpt_cache=os.path.join(
-                 cache_dir, f"ck_{nside}_{args.lchunk}.npz"),
+                 cache_dir, f"ck_{nside}_{args.lchunk}_{args.ckevery}.npz"),
              lambda_cache=os.path.join(
                  cache_dir, f"lam_{nside}_{args.lchunk}.npz"))
     sht_tables = xfer.put_tree(op.tables(False))

@@ -183,8 +183,10 @@ def _legendre_contract_scan_streamed(op, t, alm_block_fn, batch_shape, dtype,
         l0 = c * lc
         nrows = min(lc, L - l0)
         mw = min(L, ((l0 + nrows + 127) // 128) * 128)
-        if ck_c is not None:
-            lam_p, lam_pp, k = _ck_override(ck_c[c], lam_p, lam_pp, k)
+        if ck_c is not None and c % op.ckpt_every == 0:
+            lam_p, lam_pp, k = _ck_override(
+                ck_c[c // op.ckpt_every], lam_p, lam_pp, k
+            )
 
         l_step = _scaled_lam_step(t["lam_mm"], t["lam_k0"], z, m_arr,
                                   out_mw=mw)
@@ -203,6 +205,12 @@ def _legendre_contract_scan_streamed(op, t, alm_block_fn, batch_shape, dtype,
             X1 = jnp.einsum("lrm,...lm->...rm", lam_c[1::2],
                             alm_blk[..., 1::2, :], precision=op.precision)
             H1 = H1.at[..., :mw].add(X1)
+        # force the unrolled chunk loop to SEQUENCE: without a barrier XLA
+        # may overlap all chunks' λ workspaces (observed 74 GB liveness at
+        # nside=1024 / l_chunk=64)
+        H0, H1, lam_p, lam_pp, k = jax.lax.optimization_barrier(
+            (H0, H1, lam_p, lam_pp, k)
+        )
 
     meven = (midx % 2 == 0).astype(jnp.float32)
     Ge = H0 * meven + H1 * (1.0 - meven)
@@ -543,7 +551,7 @@ def _legendre_contract_scan(op, t, alm):
     Go0 = jnp.zeros_like(Ge0)
     lam0 = jnp.zeros((nh, L), dtype=lam_mm.dtype)
     l_step = _scaled_lam_step(lam_mm, t["lam_k0"], z, m_arr)
-    ck_c = t.get("lam_ck")
+    ck_c = t.get("lam_ck") if op.ckpt_every == 1 else None
 
     def chunk_step(carry, xs):
         Ge, Go, lam_p, lam_pp, k, l0 = carry
@@ -601,7 +609,7 @@ def _legendre_project_scan(op, t, G):
     m_arr = jnp.arange(L)
     lam0 = jnp.zeros((nh, L), dtype=lam_mm.dtype)
     l_step = _scaled_lam_step(lam_mm, t["lam_k0"], z, m_arr)
-    ck_c = t.get("lam_ck")
+    ck_c = t.get("lam_ck") if op.ckpt_every == 1 else None
 
     def chunk_step(carry, xs):
         lam_p, lam_pp, k, l0 = carry
@@ -1081,6 +1089,7 @@ class SHT:
         cap_sub: int | None = None,
         scan_ckpt: bool = False,
         ckpt_cache: str | None = None,
+        ckpt_every: int = 1,
     ):
         self.nside = int(nside)
         self.lmax = int(lmax)
@@ -1271,6 +1280,10 @@ class SHT:
         if legendre_mode == "cached":
             self._lam_host = self._load_or_build_lambda(lambda_cache)
         self.scan_ckpt = bool(scan_ckpt)
+        # re-seed every ckpt_every-th ℓ-chunk only (table is 1/ckpt_every
+        # the size; error grows ∝ the effective re-seed spacing).  The
+        # dense lax.scan paths use checkpoints only when ckpt_every == 1.
+        self.ckpt_every = max(1, int(ckpt_every))
         self._ck_host = None
         if legendre_mode == "scan" and scan_ckpt:
             self._ck_host = self._load_or_build_checkpoints(ckpt_cache)
@@ -1360,7 +1373,9 @@ class SHT:
         L = self.lmax + 1
         nh = self.nhalf
         lc = self.l_chunk
+        ke = self.ckpt_every
         nchunk = -(-L // lc)
+        n_ck = -(-nchunk // ke)
 
         z = self._z_half
         lam_mm = self._lam_mm
@@ -1368,7 +1383,7 @@ class SHT:
         rec_b = self._rec_b
         m_arr = np.arange(L)
 
-        ck = np.zeros((nchunk, 2, nh, L), dtype=np.float32)
+        ck = np.zeros((n_ck, 2, nh, L), dtype=np.float32)
         lam_p = np.zeros((nh, L))
         lam_pp = np.zeros((nh, L))
         with np.errstate(under="ignore"):
@@ -1382,8 +1397,8 @@ class SHT:
                 lam_pp = lam_p
                 lam_p = lam
                 nxt = ll + 1
-                if nxt % lc == 0 and nxt // lc < nchunk:
-                    c = nxt // lc
+                if nxt % (lc * ke) == 0 and nxt // lc < nchunk:
+                    c = nxt // (lc * ke)
                     ck[c, 0] = lam_pp.astype(np.float32)
                     ck[c, 1] = lam_p.astype(np.float32)
         return ck
@@ -1393,8 +1408,8 @@ class SHT:
         import os
 
         if cache_path:
-            meta = np.array([self.nside, self.lmax, self.l_chunk, 1],
-                            dtype=np.int64)
+            meta = np.array([self.nside, self.lmax, self.l_chunk,
+                             self.ckpt_every], dtype=np.int64)
             if os.path.exists(cache_path):
                 try:
                     d = np.load(cache_path)

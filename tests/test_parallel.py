@@ -107,3 +107,36 @@ def test_pod_mesh_shapes():
     assert mesh.shape == {"freq": 2, "band": jax.device_count() // 2}
     mesh1 = make_pod_mesh(freq_hosts=1)
     assert mesh1.shape["band"] == jax.device_count()
+
+
+@requires_multi
+def test_synthesize_cube_sharded_scan_mode():
+    """The Λ-free (checkpointed scan) mode must shard identically: the
+    multi-chip path at Nside ≥ 1024 relies on it (cached Λ cannot fit
+    per-chip HBM there)."""
+    from cora_tpu.healpix.sht import SHT, synthesis_grid_correlated
+    from cora_tpu.parallel.mesh import synthesize_cube_sharded
+
+    nside, nz = 16, 16
+    lmax = 3 * nside - 1
+    op = SHT(nside, lmax, legendre_mode="scan", fft_mode="mm", l_chunk=16,
+             scan_ckpt=True)
+    t = op.tables(False)
+    assert "lam" not in t
+    rng = np.random.RandomState(0)
+    roots = rng.randn(lmax + 1, nz, nz).astype(np.float32) * 0.1
+    key = jax.random.PRNGKey(5)
+
+    mesh = make_mesh(8)
+    cube8 = np.asarray(synthesize_cube_sharded(op, t, roots, key, mesh, fchunk=2))
+    ref = np.concatenate(
+        [
+            np.asarray(
+                synthesis_grid_correlated(op, t, jnp.asarray(roots), key, i, 2)
+            )
+            for i in range(0, nz, 2)
+        ],
+        axis=0,
+    )
+    assert cube8.shape == ref.shape
+    assert np.abs(cube8 - ref).max() == 0.0
