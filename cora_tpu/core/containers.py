@@ -124,6 +124,10 @@ class ContainerBase:
                     f.attrs[k] = v
 
             for name, arr in self.index_map.items():
+                if getattr(arr, "dtype", None) is not None and arr.dtype.kind == "U":
+                    # h5py has no unicode-array path; store as bytes like
+                    # memh5 does (e.g. the pol axis ["I","Q","U","V"])
+                    arr = np.char.encode(arr, "utf-8")
                 d = f.create_dataset(f"index_map/{name}", data=arr)
                 d.attrs["__memh5_distributed_dset"] = False
 

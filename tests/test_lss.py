@@ -259,3 +259,48 @@ def test_flat_spectrum_map():
     assert m.map.shape[0] == 4
     assert m.map[:, 0].std() > 0
     assert (m.map[:, 1:] == 0).all()
+
+
+def test_yaml_pipeline_full_chain(tmp_path):
+    """The docs' full ZA chain (two-input ZeldovichDynamics via `in` lists,
+    stage save) runs from YAML end to end."""
+    from cora_tpu.pipeline import Pipeline
+
+    yaml_conf = """
+pipeline:
+  tasks:
+    - type: cora_tpu.signal.lss.CalculateCorrelations
+      out: corr
+      params:
+        samples_per_decade: 100
+    - type: cora_tpu.signal.lss.CalculateMultiFrequencyAngularPowerSpectrum
+      in: corr
+      out: aps
+      params:
+        nside: 8
+        frequencies: [500.0, 550.0, 8]
+        xromb: 1
+    - type: cora_tpu.signal.lss.GenerateInitialLSSFromCl
+      requires: aps
+      out: initial
+      params:
+        num_sims: 1
+        start_seed: 11
+    - type: cora_tpu.signal.lss.GeneratePolynomialBias
+      in: initial
+      out: biased
+      params:
+        model: HI
+    - type: cora_tpu.signal.lss.ZeldovichDynamics
+      in: [initial, biased]
+      out: final
+    - type: cora_tpu.signal.lss.BiasedLSSToMap
+      in: final
+      out: map
+      save: "SAVEDIR/lss_map_{count}.h5"
+""".replace("SAVEDIR", str(tmp_path))
+    products = Pipeline.from_yaml(yaml_conf).run()
+    m = products["map"][0]
+    assert m.map.shape == (8, 4, 768)
+    assert np.isfinite(np.asarray(m.map)).all()
+    assert (tmp_path / "lss_map_0.h5").exists()
