@@ -56,11 +56,11 @@ key = jax.random.PRNGKey(0)
 
 def alm_blk_maker(rp, k, z_lo):
     # rp: parity-packed roots [L, nz, nz] (evens first), matching _lam_meta
-    def alm_blk(c, off, nrows):
+    def alm_blk(c, off, nrows, mw):
         kc = jax.random.fold_in(k, c)
         kr, ki = jax.random.split(kc)
-        xi = (jax.random.normal(kr, (nrows, nfreq, L), jnp.float32)
-              + 1j * jax.random.normal(ki, (nrows, nfreq, L), jnp.float32)) * 0.70710678
+        xi = (jax.random.normal(kr, (nrows, nfreq, mw), jnp.float32)
+              + 1j * jax.random.normal(ki, (nrows, nfreq, mw), jnp.float32)) * 0.70710678
         rblk = jax.lax.dynamic_slice(rp, (off, z_lo, 0), (nrows, fchunk, nfreq)).astype(jnp.complex64)
         a = jnp.einsum("lzy,lym->lzm", rblk, xi)
         return jnp.moveaxis(a, 0, 1)
@@ -80,9 +80,9 @@ def draw_only(r, k, t):
     fn = alm_blk_maker(rp, k, 0)
     ne = (L + 1) // 2
     acc = jnp.float32(0.0)
-    for c, (parity, sub_lo, nrows, _) in enumerate(op._lam_meta):
+    for c, (parity, sub_lo, nrows, mw) in enumerate(op._lam_meta):
         off = sub_lo + (0 if parity == 0 else ne)
-        acc = acc + jnp.sum(jnp.abs(fn(c, off, nrows)))
+        acc = acc + jnp.sum(jnp.abs(fn(c, off, nrows, min(mw, L))))
     return acc
 
 
