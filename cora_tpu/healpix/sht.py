@@ -1669,6 +1669,9 @@ def get_sht(
     return SHT(
         nside, lmax, l_chunk=l_chunk, legendre_mode=legendre_mode,
         fft_mode=fft_mode, scan_ckpt=legendre_mode == "scan" and not on_cpu,
+        # keep the checkpoint table bounded as lmax grows (it scales as
+        # nh·L²/(l_chunk·ckpt_every))
+        ckpt_every=max(1, (nside // 512) ** 2),
     )
 
 
