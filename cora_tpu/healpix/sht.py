@@ -179,35 +179,61 @@ def _legendre_contract_scan_streamed(op, t, alm_block_fn, batch_shape, dtype,
     k = jnp.zeros_like(lam_p)
     ck_c = t.get("lam_ck")
 
-    for c in range(nchunk):
-        l0 = c * lc
-        nrows = min(lc, L - l0)
-        mw = min(L, ((l0 + nrows + 127) // 128) * 128)
-        if ck_c is not None and c % op.ckpt_every == 0:
-            lam_p, lam_pp, k = _ck_override(
-                ck_c[c // op.ckpt_every], lam_p, lam_pp, k
-            )
+    # chunks are processed in ckpt_every-sized BANDS: each band is one
+    # lax.scan over its chunks, so the HLO scales with the number of
+    # bands, not chunks (384 unrolled chunks at nside=2048 produced a
+    # pathological compile).  Checkpoint overrides land exactly at band
+    # starts, and for ckpt_every == 1 (bands of one chunk) the behaviour
+    # — including RNG consumption — is identical to chunk-level code.
+    g = op.ckpt_every
+    nband = -(-nchunk // g)
+
+    for b in range(nband):
+        c_lo = b * g
+        nc = min(g, nchunk - c_lo)
+        l_lo = c_lo * lc
+        mw = min(L, ((min(L, (c_lo + nc) * lc) + 127) // 128) * 128)
+        if ck_c is not None:
+            lam_p, lam_pp, k = _ck_override(ck_c[b], lam_p, lam_pp, k)
 
         l_step = _scaled_lam_step(t["lam_mm"], t["lam_k0"], z, m_arr,
                                   out_mw=mw)
-        aa = jax.lax.dynamic_slice_in_dim(t["rec_a"], l0, nrows, axis=0)
-        bb = jax.lax.dynamic_slice_in_dim(t["rec_b"], l0, nrows, axis=0)
-        (lam_p, lam_pp, k, _), lam_chunk = jax.lax.scan(
-            l_step, (lam_p, lam_pp, k, jnp.asarray(l0)), (aa, bb)
-        )
-        alm_blk = alm_block_fn(c, l0, nrows, mw)[..., :mw]
-        lam_c = lam_chunk.astype(alm_blk.real.dtype)
-        # consecutive-ℓ rows alternate parity (l0 even since lc is even)
-        X0 = jnp.einsum("lrm,...lm->...rm", lam_c[0::2],
-                        alm_blk[..., 0::2, :], precision=op.precision)
-        H0 = H0.at[..., :mw].add(X0)
-        if nrows > 1:
+        # rec rows for the band, padded to nc·lc (zero rows emit zero λ)
+        nr = min(L - l_lo, nc * lc)
+        aa = jax.lax.dynamic_slice_in_dim(t["rec_a"], l_lo, nr, axis=0)
+        bb = jax.lax.dynamic_slice_in_dim(t["rec_b"], l_lo, nr, axis=0)
+        if nr < nc * lc:
+            pad = [(0, nc * lc - nr), (0, 0)]
+            aa = jnp.pad(aa, pad)
+            bb = jnp.pad(bb, pad)
+        aa = aa.reshape(nc, lc, L)
+        bb = bb.reshape(nc, lc, L)
+
+        def band_step(carry, xs):
+            H0, H1, lam_p, lam_pp, k, c = carry
+            aa_c, bb_c = xs
+            l0 = c * lc
+            (lam_p, lam_pp, k, _), lam_chunk = jax.lax.scan(
+                l_step, (lam_p, lam_pp, k, l0), (aa_c, bb_c)
+            )
+            alm_blk = alm_block_fn(c, l0, lc, mw)[..., :mw]
+            lam_c = lam_chunk.astype(alm_blk.real.dtype)
+            # consecutive-ℓ rows alternate parity (l0 even: lc is even)
+            X0 = jnp.einsum("lrm,...lm->...rm", lam_c[0::2],
+                            alm_blk[..., 0::2, :], precision=op.precision)
+            H0 = H0.at[..., :mw].add(X0)
             X1 = jnp.einsum("lrm,...lm->...rm", lam_c[1::2],
                             alm_blk[..., 1::2, :], precision=op.precision)
             H1 = H1.at[..., :mw].add(X1)
-        # force the unrolled chunk loop to SEQUENCE: without a barrier XLA
-        # may overlap all chunks' λ workspaces (observed 74 GB liveness at
-        # nside=1024 / l_chunk=64)
+            return (H0, H1, lam_p, lam_pp, k, c + 1), None
+
+        (H0, H1, lam_p, lam_pp, k, _), _ = jax.lax.scan(
+            band_step,
+            (H0, H1, lam_p, lam_pp, k, jnp.asarray(c_lo)),
+            (aa, bb),
+        )
+        # sequence the unrolled bands: without a barrier XLA may overlap
+        # all bands' λ workspaces (observed 74 GB liveness at nside=1024)
         H0, H1, lam_p, lam_pp, k = jax.lax.optimization_barrier(
             (H0, H1, lam_p, lam_pp, k)
         )
