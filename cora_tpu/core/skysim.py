@@ -18,6 +18,8 @@ Re-design of the reference ``cora/core/skysim.py``.  The pipeline is
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -85,6 +87,44 @@ def clarray(aps, lmax, zarray, zromb=3, zwidth=None):
         cla[lsec] = clt / (2 * zhalf) ** 2
 
     return cla
+
+
+def host_covariance_roots(corr):
+    """Per-ell covariance matrix roots on host in float64.
+
+    Batched eigh with tiny-eigenvalue clipping (the reference's
+    matrix_root_manynull semantics, nputil.py:51) — used on accelerators
+    whose runtimes lack f64 device eigh.
+    """
+    corr = np.asarray(corr, dtype=np.float64)
+    nz = corr.shape[-1]
+    cmax = np.abs(np.diagonal(corr, axis1=-2, axis2=-1)).max(
+        axis=-1, keepdims=True
+    )
+    corrm = (corr + (cmax * 1e-14)[..., None] * np.eye(nz)) / np.where(
+        cmax[..., None] > 0, cmax[..., None], 1.0
+    )
+    evals, evecs = np.linalg.eigh(corrm)
+    evals = np.where(
+        evals > evals.max(axis=-1, keepdims=True) * 1e-16, evals, 0.0
+    )
+    return (evecs * np.sqrt(evals)[..., None, :]) * np.sqrt(
+        np.where(cmax > 0, cmax, 1.0)
+    )[..., None]
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def draw_alm_from_roots(roots, key, dtype=jnp.complex64):
+    """Correlated a_lm draw from precomputed per-ell roots.
+
+    Jitted: eager complex constants/arithmetic hit broken paths on the
+    axon TPU runtime."""
+    lmax1, numz, _ = roots.shape
+    rdtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    gauss = linalg.complex_std_normal(key, (lmax1, numz, lmax1), dtype=rdtype)
+    alm = jnp.einsum("lzy,lym->lzm", roots.astype(dtype), gauss)
+    mmask = (jnp.arange(lmax1)[None, :] <= jnp.arange(lmax1)[:, None])[:, None, :]
+    return jnp.moveaxis(alm * mmask, 0, 1)  # [nz, l, m]
 
 
 def draw_correlated_alm(corr, key, dtype=jnp.complex128):
@@ -172,7 +212,16 @@ def mkfullsky(corr, nside, alms=False, key=None, rng=None, dtype=jnp.complex128)
         ]
         return np.concatenate(parts, axis=0)[: corr.shape[1]]
 
-    alm = draw_correlated_alm(corr, key, dtype=dtype)
+    if dtype == jnp.complex128 and jax.default_backend() != "cpu":
+        # f64 device eigh is unavailable on some TPU runtimes: factor the
+        # covariance on host in f64, draw on device in f32
+        from ..util import xfer
+
+        roots = xfer.put(host_covariance_roots(np.asarray(corr)).astype(
+            np.float32))
+        alm = draw_alm_from_roots(roots, key, dtype=jnp.complex64)
+    else:
+        alm = draw_correlated_alm(corr, key, dtype=dtype)
 
     if alms:
         return xfer_get(alm)
@@ -301,19 +350,7 @@ def mkfullsky_streamed(corr, nside, key=None, fchunk=16):
         key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
 
     # roots on host in float64 (independent of jax_enable_x64)
-    cmax = np.abs(np.diagonal(corr, axis1=-2, axis2=-1)).max(
-        axis=-1, keepdims=True
-    )
-    corrm = (corr + (cmax * 1e-14)[..., None] * np.eye(nz)) / np.where(
-        cmax[..., None] > 0, cmax[..., None], 1.0
-    )
-    evals, evecs = np.linalg.eigh(corrm)
-    evals = np.where(evals > evals.max(axis=-1, keepdims=True) * 1e-16,
-                     evals, 0.0)
-    roots = (evecs * np.sqrt(evals)[..., None, :]) * np.sqrt(
-        np.where(cmax > 0, cmax, 1.0)
-    )[..., None]
-    roots_d = xfer.put(roots.astype(np.float32))
+    roots_d = xfer.put(host_covariance_roots(corr).astype(np.float32))
 
     big = int(nside) > 512  # cached Λ exceeds single-chip HBM beyond 512
     op = SHT(

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from . import pixel
 from . import sht as _sht
+from ..util.xfer import put as _xput
 
 # Analysis refinement iterations (accuracy contract mirroring the
 # reference's use_weights=True, iter=2; we use pixel weights + 3 Jacobi
@@ -111,7 +112,7 @@ def sphtrans_inv_real(alm, nside):
     alm = np.asarray(alm)
     if alm.shape[-1] != alm.shape[-2]:
         raise ValueError("a_lm array wrong shape.")
-    return np.asarray(_sht.alm2map(jnp.asarray(alm), nside))
+    return np.asarray(_sht.alm2map(_xput(alm), nside))
 
 
 def sphtrans_complex(hpmap, lmax=None, centered=False, lside=None):
@@ -175,7 +176,7 @@ def sphtrans_inv_real_pol(alm, nside):
 
     maps = np.zeros((npol, pixel.nside2npix(nside)), dtype=np.float64)
     maps[0] = sphtrans_inv_real(alm[0], nside)
-    Q, U = _spin.alm2map_spin(jnp.asarray(alm[1]), jnp.asarray(alm[2]), 2, nside)
+    Q, U = _spin.alm2map_spin(_xput(alm[1]), _xput(alm[2]), 2, nside)
     maps[1] = np.asarray(Q)
     maps[2] = np.asarray(U)
     if npol == 4:
@@ -229,7 +230,7 @@ def sphtrans_inv_sky(alm, nside):
     nfreq, npol = alm.shape[0], alm.shape[1]
 
     if npol == 1:
-        sky = _sht.alm2map(jnp.asarray(alm[:, 0]), nside)
+        sky = _sht.alm2map(_xput(alm[:, 0]), nside)
         return np.asarray(sky)[:, np.newaxis, :]
 
     sky_freq = np.empty((nfreq, npol, pixel.nside2npix(nside)), dtype=np.float64)
