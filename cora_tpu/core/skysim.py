@@ -199,6 +199,21 @@ def mkfullsky(corr, nside, alms=False, key=None, rng=None, dtype=jnp.complex128)
             seed = np.random.randint(0, 2**31 - 1)
         key = jax.random.PRNGKey(seed)
 
+    if dtype == jnp.complex128 and jax.default_backend() != "cpu":
+        # accelerator backends here lack f64 eigh/transfers: the covariance
+        # is factored on host in f64 but the draw/synthesis run in
+        # complex64, and the RESULT IS complex64 — warn rather than break
+        # the requested-dtype contract silently
+        import warnings
+
+        warnings.warn(
+            "mkfullsky: complex128 requested on a non-CPU backend; "
+            "covariance roots are built in f64 on host but the draw and "
+            "synthesis run in complex64 and the result is returned in "
+            "single precision.",
+            stacklevel=2,
+        )
+
     if not alms and jax.default_backend() != "cpu":
         # accelerator path: host-f64 covariance roots + the fused streaming
         # draw/synthesis per frequency chunk (device eigh and eager-mode
@@ -320,7 +335,7 @@ def mkconstrained(corr, constraints, nside, key=None):
     return np.asarray(_sht.alm2map(jnp.asarray(cv), nside))
 
 
-def mkfullsky_streamed(corr, nside, key=None, fchunk=16):
+def mkfullsky_streamed(corr, nside, key=None, fchunk=16, op=None):
     """Generator: correlated sky cube in frequency chunks, host pixel maps.
 
     For cubes too large for device HBM or host RAM in one piece
@@ -352,13 +367,16 @@ def mkfullsky_streamed(corr, nside, key=None, fchunk=16):
     # roots on host in float64 (independent of jax_enable_x64)
     roots_d = xfer.put(host_covariance_roots(corr).astype(np.float32))
 
-    big = int(nside) > 512  # cached Λ exceeds single-chip HBM beyond 512
-    op = SHT(
-        int(nside), int(lmax),
-        legendre_mode="scan" if big else "cached",
-        scan_ckpt=big,
-        fft_mode="xla" if jax.default_backend() == "cpu" else "mm",
-    )
+    if op is None:
+        big = int(nside) > 512  # cached Λ exceeds single-chip HBM past 512
+        op = SHT(
+            int(nside), int(lmax),
+            legendre_mode="scan" if big else "cached",
+            scan_ckpt=big,
+            fft_mode="xla" if jax.default_backend() == "cpu" else "mm",
+        )
+    elif op.nside != int(nside) or op.lmax != int(lmax):
+        raise ValueError("op does not match requested nside/lmax")
     tables = op.tables(False)
     info = _pixel.ring_info(int(nside))
     npix = _pixel.nside2npix(int(nside))

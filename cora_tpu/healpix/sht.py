@@ -354,6 +354,17 @@ def _correlated_GeGo_scan(op, t, roots, key, z_lo, nz_chunk):
     from jax import lax
 
     nz = roots.shape[-1]
+    # zero-pad roots to a whole number of ℓ-chunks: the streamed band loop
+    # slices every chunk at full l_chunk width, and a clamped dynamic_slice
+    # on a short last chunk would contract valid λ rows against the WRONG
+    # ℓ's covariance roots (the padded λ rows are structurally zero, so
+    # padded root rows never contribute)
+    L = op.lmax + 1
+    Lp = -(-L // op.l_chunk) * op.l_chunk
+    if roots.shape[0] < Lp:
+        roots = jnp.pad(
+            roots, [(0, Lp - roots.shape[0])] + [(0, 0)] * (roots.ndim - 1)
+        )
 
     def alm_blk(c, l0, nrows, mw):
         with _stage("draw"):
@@ -577,13 +588,11 @@ def _legendre_contract_scan(op, t, alm):
     Go0 = jnp.zeros_like(Ge0)
     lam0 = jnp.zeros((nh, L), dtype=lam_mm.dtype)
     l_step = _scaled_lam_step(lam_mm, t["lam_k0"], z, m_arr)
-    ck_c = t.get("lam_ck") if op.ckpt_every == 1 else None
+    ck_c = t.get("lam_ck")
 
     def chunk_step(carry, xs):
         Ge, Go, lam_p, lam_pp, k, l0 = carry
-        alm_e, alm_o, aa, bb = xs[:4]
-        if ck_c is not None:
-            lam_p, lam_pp, k = _ck_override(xs[4], lam_p, lam_pp, k)
+        alm_e, alm_o, aa, bb = xs
 
         (lam_p, lam_pp, k, lN), lam_chunk = jax.lax.scan(
             l_step, (lam_p, lam_pp, k, l0), (aa, bb)
@@ -594,13 +603,35 @@ def _legendre_contract_scan(op, t, alm):
         return (Ge, Go, lam_p, lam_pp, k, lN), None
 
     xs = (alm_e_c, alm_o_c, a_c, b_c)
-    if ck_c is not None:
-        xs = xs + (ck_c,)
-    (Ge, Go, _, _, _, _), _ = jax.lax.scan(
-        chunk_step,
-        (Ge0, Go0, lam0, lam0, jnp.zeros_like(lam0), jnp.asarray(0)),
-        xs,
-    )
+    carry0 = (Ge0, Go0, lam0, lam0, jnp.zeros_like(lam0), jnp.asarray(0))
+    if ck_c is None:
+        (Ge, Go, _, _, _, _), _ = jax.lax.scan(chunk_step, carry0, xs)
+    else:
+        # checkpoint table is per BAND of ckpt_every chunks: scan bands,
+        # re-seeding the recurrence carry from exact f64-built rows at each
+        # band start, with an inner scan over the band's chunks (matches
+        # the streamed path; keeps the stated accuracy contract at
+        # ckpt_every > 1, where the old flat scan silently skipped ck)
+        g = op.ckpt_every
+        nband = -(-nchunk // g)
+        ncp = nband * g
+        if ncp != nchunk:
+            xs = tuple(
+                jnp.pad(x, [(0, ncp - nchunk)] + [(0, 0)] * (x.ndim - 1))
+                for x in xs
+            )
+        xs = tuple(x.reshape((nband, g) + x.shape[1:]) for x in xs)
+
+        def band_step(carry, bxs):
+            Ge, Go, lam_p, lam_pp, k, l0 = carry
+            lam_p, lam_pp, k = _ck_override(bxs[-1], lam_p, lam_pp, k)
+            return jax.lax.scan(
+                chunk_step, (Ge, Go, lam_p, lam_pp, k, l0), bxs[:-1]
+            )
+
+        (Ge, Go, _, _, _, _), _ = jax.lax.scan(
+            band_step, carry0, xs + (ck_c,)
+        )
 
     Gn = Ge + Go
     Gs = Ge - Go
@@ -635,13 +666,11 @@ def _legendre_project_scan(op, t, G):
     m_arr = jnp.arange(L)
     lam0 = jnp.zeros((nh, L), dtype=lam_mm.dtype)
     l_step = _scaled_lam_step(lam_mm, t["lam_k0"], z, m_arr)
-    ck_c = t.get("lam_ck") if op.ckpt_every == 1 else None
+    ck_c = t.get("lam_ck")
 
     def chunk_step(carry, xs):
         lam_p, lam_pp, k, l0 = carry
-        aa, bb = xs[:2]
-        if ck_c is not None:
-            lam_p, lam_pp, k = _ck_override(xs[2], lam_p, lam_pp, k)
+        aa, bb = xs
 
         (lam_p, lam_pp, k, lN), lam_chunk = jax.lax.scan(
             l_step, (lam_p, lam_pp, k, l0), (aa, bb)
@@ -654,10 +683,33 @@ def _legendre_project_scan(op, t, G):
         alm_o = jnp.einsum("lrm,...rm->...lm", lam_o, Go)
         return (lam_p, lam_pp, k, lN), alm_e + alm_o
 
-    xs = (a_c, b_c) + ((ck_c,) if ck_c is not None else ())
-    _, alm_chunks = jax.lax.scan(
-        chunk_step, (lam0, lam0, jnp.zeros_like(lam0), jnp.asarray(0)), xs
-    )
+    carry0 = (lam0, lam0, jnp.zeros_like(lam0), jnp.asarray(0))
+    if ck_c is None:
+        _, alm_chunks = jax.lax.scan(chunk_step, carry0, (a_c, b_c))
+    else:
+        # per-band checkpoint re-seeding (see _legendre_contract_scan)
+        g = op.ckpt_every
+        nband = -(-nchunk // g)
+        ncp = nband * g
+        xs = (a_c, b_c)
+        if ncp != nchunk:
+            xs = tuple(
+                jnp.pad(x, [(0, ncp - nchunk)] + [(0, 0)] * (x.ndim - 1))
+                for x in xs
+            )
+        xs = tuple(x.reshape((nband, g) + x.shape[1:]) for x in xs)
+
+        def band_step(carry, bxs):
+            lam_p, lam_pp, k, l0 = carry
+            lam_p, lam_pp, k = _ck_override(bxs[-1], lam_p, lam_pp, k)
+            return jax.lax.scan(
+                chunk_step, (lam_p, lam_pp, k, l0), bxs[:-1]
+            )
+
+        _, alm_chunks = jax.lax.scan(band_step, carry0, xs + (ck_c,))
+        alm_chunks = alm_chunks.reshape(
+            (ncp,) + alm_chunks.shape[2:]
+        )[:nchunk]
     alm = jnp.moveaxis(alm_chunks, 0, -3)
     alm = alm.reshape(alm.shape[:-3] + (Lp, L))[..., :L, :]
     return alm.astype(cdtype)
@@ -1307,8 +1359,8 @@ class SHT:
             self._lam_host = self._load_or_build_lambda(lambda_cache)
         self.scan_ckpt = bool(scan_ckpt)
         # re-seed every ckpt_every-th ℓ-chunk only (table is 1/ckpt_every
-        # the size; error grows ∝ the effective re-seed spacing).  The
-        # dense lax.scan paths use checkpoints only when ckpt_every == 1.
+        # the size; error grows ∝ the effective re-seed spacing).  Both the
+        # streamed and the dense lax.scan paths apply it per band.
         self.ckpt_every = max(1, int(ckpt_every))
         self._ck_host = None
         if legendre_mode == "scan" and scan_ckpt:

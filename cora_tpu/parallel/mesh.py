@@ -118,7 +118,9 @@ def synthesize_cube_sharded(
         from jax import shard_map as _shard_map
 
         def shard_map(f, **kw):
-            kw["check_vma"] = kw.pop("check_rep")
+            rep = kw.pop("check_rep", None)
+            if rep is not None:
+                kw["check_vma"] = rep
             return _shard_map(f, **kw)
 
     except ImportError:  # pragma: no cover - older jax

@@ -326,3 +326,132 @@ def test_checkpointed_scan_f32_accuracy():
     ref = g64[mask]
     rms = float(np.sqrt((d**2).mean()) / np.sqrt((ref**2).mean()))
     assert rms < 1e-5
+
+
+def test_scan_streamed_nondivisible_l_chunk():
+    """Scan-streamed correlated synthesis with (lmax+1) % l_chunk != 0.
+
+    Regression: the last ℓ-chunk's dynamic_slice on the covariance roots
+    used to clamp to L - l_chunk, contracting valid λ rows against the
+    wrong ℓ's roots (order-unity map error at lmax=40 / l_chunk=16)."""
+    import jax
+    from cora_tpu.healpix.sht import SHT, _synthesis_grid, synthesis_grid_correlated
+
+    nside, nz, fchunk = 16, 4, 2
+    lmax = 40  # L = 41: 16 + 16 + 9 — last chunk short
+    L = lmax + 1
+    op = SHT(nside, lmax, legendre_mode="scan", fft_mode="mm", l_chunk=16)
+    t = op.tables(False)
+    rng = np.random.RandomState(0)
+    roots = jnp.asarray(rng.randn(L, nz, nz).astype(np.float32) * 0.1)
+    key = jax.random.PRNGKey(7)
+
+    # explicit alm with the streamed path's RNG scheme: every chunk draws
+    # a FULL l_chunk of rows (padded roots beyond L are zero)
+    lc = op.l_chunk
+    nchunk = -(-L // lc)
+    roots_pad = np.zeros((nchunk * lc, nz, nz), np.float32)
+    roots_pad[:L] = np.asarray(roots)
+    alm = np.zeros((nz, L, L), dtype=np.complex64)
+    for c in range(nchunk):
+        l0 = c * lc
+        mw = min(L, ((min(L, (c + 1) * lc) + 127) // 128) * 128)
+        kc = jax.random.fold_in(key, c)
+        kr, ki = jax.random.split(kc)
+        xi = (
+            jax.random.normal(kr, (lc, nz, mw), jnp.float32)
+            + 1j * jax.random.normal(ki, (lc, nz, mw), jnp.float32)
+        ) * 0.70710678
+        blk = jnp.einsum(
+            "lzy,lym->lzm",
+            jnp.asarray(roots_pad[l0 : l0 + lc]).astype(jnp.complex64), xi,
+        )
+        nrows = min(lc, L - l0)
+        alm[:, l0 : l0 + nrows, :mw] = np.moveaxis(
+            np.asarray(blk), 0, 1
+        )[:, :nrows]
+    alm = jnp.asarray(alm) * (
+        jnp.arange(L)[None, :] <= jnp.arange(L)[:, None]
+    )[None, :, :]
+    ref = np.asarray(_synthesis_grid(op, t, alm.astype(jnp.complex64)))
+
+    out = np.concatenate(
+        [
+            np.asarray(synthesis_grid_correlated(op, t, roots, key, i, fchunk))
+            for i in range(0, nz, fchunk)
+        ],
+        axis=0,
+    )
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() < 1e-5
+
+
+def test_mkfullsky_streamed_nondivisible_l_chunk_statistics():
+    """End-to-end guard at user-facing level: a flat-C_l sky through the
+    streamed scan path at a non-divisible lmax must carry ~the right
+    variance (the old clamped slice produced order-unity errors)."""
+    import jax
+    from cora_tpu.healpix.sht import SHT
+    from cora_tpu.core.skysim import mkfullsky_streamed
+
+    nside, nz = 16, 4
+    lmax = 40
+    L = lmax + 1
+    cl = 1e-2 * np.ones(L)
+    corr = cl[:, None, None] * np.eye(nz)[None]
+
+    op = SHT(nside, lmax, legendre_mode="scan", fft_mode="mm", l_chunk=16)
+    parts = [
+        m
+        for _, m in mkfullsky_streamed(
+            corr, nside, key=jax.random.PRNGKey(2), fchunk=nz, op=op
+        )
+    ]
+    sky = np.concatenate(parts, axis=0)
+    # expected map variance: sum_l (2l+1) C_l / 4pi
+    var_exp = ((2 * np.arange(L) + 1) * cl).sum() / (4 * np.pi)
+    var = sky.var()
+    assert 0.5 * var_exp < var < 1.5 * var_exp
+
+
+def test_checkpointed_scan_banded_ckpt_every():
+    """ckpt_every > 1 (banded) checkpoint re-seeding in the DENSE scan
+    paths, incl. a band count that does not divide the chunk count.
+
+    Regression: checkpoints were silently skipped for ckpt_every != 1, so
+    nside>=1024 dense transforms ran the plain recurrence."""
+    from cora_tpu.healpix.sht import SHT, _synthesis_grid
+
+    nside = 64
+    lmax = 3 * nside - 1
+    L = lmax + 1  # 192 = 28*6 + 24: nchunk=7, bands of 2 -> pad to 8
+    rng = np.random.RandomState(3)
+    alm = (rng.randn(1, L, L) + 1j * rng.randn(1, L, L)) * (
+        np.arange(L)[None, None, :] <= np.arange(L)[None, :, None]
+    )
+    op64 = SHT(nside, lmax, legendre_mode="scan", fft_mode="xla", l_chunk=28)
+    t64 = op64.tables(True)
+    g64 = np.asarray(_synthesis_grid(op64, t64, jnp.asarray(alm)))[0]
+    op32 = SHT(nside, lmax, legendre_mode="scan", fft_mode="xla", l_chunk=28,
+               scan_ckpt=True, ckpt_every=2)
+    t32 = op32.tables(False)
+    assert "lam_ck" in t32 and t32["lam_ck"].shape[0] == 4  # ceil(7/2)
+    g32 = np.asarray(
+        _synthesis_grid(op32, t32, jnp.asarray(alm).astype(jnp.complex64))
+    )[0]
+    nq = op64._nq
+    mask = np.zeros(g64.shape, dtype=bool)
+    for r in range(op64.nring):
+        mask[r, : nq[r]] = True
+    d = (g32 - g64)[mask]
+    rms = float(np.sqrt((d**2).mean()) / np.sqrt((g64[mask] ** 2).mean()))
+    assert rms < 1e-5
+
+    # adjoint (project) path gets the same banded re-seeding
+    G64 = op64._legendre_contract(jnp.asarray(alm))
+    a64 = np.asarray(op64._legendre_project(G64.astype(jnp.complex128)))
+    a32 = np.asarray(op32._legendre_project(G64.astype(jnp.complex64)))
+    scale = np.sqrt((np.abs(a64) ** 2).mean())
+    # f32 error grows with the re-seed spacing l_chunk*ckpt_every (56 here
+    # vs 16 in test_checkpointed_scan_f32_accuracy) — bound scales with it
+    assert np.sqrt((np.abs(a32 - a64) ** 2).mean()) / scale < 5e-5
