@@ -1079,8 +1079,13 @@ def _analysis_cg_grid(op, t, fgrid, niter):
     real map inner product, so CG runs in rescaled variables y = s_m·x
     (s = √2 for m > 0) where the normal operator is self-adjoint under the
     plain complex dot product.
+
+    CG is hand-rolled over lax.fori_loop (not jax.scipy.sparse.linalg.cg,
+    whose custom_linear_solve machinery fails to trace the lax.scan-based
+    Legendre operator on jax 0.8) — one SHT pair per iteration, same cost
+    as a Jacobi step.
     """
-    from jax.scipy.sparse.linalg import cg
+    from jax import lax
 
     cdtype = jnp.complex128 if fgrid.dtype == jnp.float64 else jnp.complex64
     L = op.lmax + 1
@@ -1093,8 +1098,37 @@ def _analysis_cg_grid(op, t, fgrid, niter):
         g = _synthesis_grid(op, t, x)
         return _analysis_once_grid(op, t, g, cdtype) * s
 
+    def dot(u, v):
+        return jnp.sum(jnp.real(jnp.conj(u) * v))
+
     b = _analysis_once_grid(op, t, fgrid, cdtype) * s
-    y, _ = cg(N, b, x0=b, maxiter=niter)
+    x0 = b
+    r0 = b - N(x0)
+    rs0 = dot(r0, r0)
+    # freeze the iteration once the residual reaches rounding level —
+    # un-guarded CG diverges violently after convergence (r is then pure
+    # noise and pᵀNp can round to ~0)
+    eps = jnp.finfo(r0.real.dtype).eps
+    tol2 = rs0 * eps * eps * 100.0
+
+    def body(_, carry):
+        x, r, p, rs = carry
+        live = rs > tol2
+        Np = N(p)
+        denom = dot(p, Np)
+        alpha = jnp.where(
+            live & (denom > 0), rs / jnp.maximum(denom, 1e-300), 0.0
+        )
+        x = x + alpha * p
+        r = r - alpha * Np
+        rs_new = jnp.where(live, dot(r, r), rs)
+        beta = jnp.where(
+            live & (rs > 0), rs_new / jnp.maximum(rs, 1e-300), 0.0
+        )
+        p = jnp.where(live, r + beta * p, p)
+        return x, r, p, rs_new
+
+    y, _, _, _ = lax.fori_loop(0, niter, body, (x0, r0, r0, rs0))
     return y / s
 
 

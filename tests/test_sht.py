@@ -455,3 +455,28 @@ def test_checkpointed_scan_banded_ckpt_every():
     # f32 error grows with the re-seed spacing l_chunk*ckpt_every (56 here
     # vs 16 in test_checkpointed_scan_f32_accuracy) — bound scales with it
     assert np.sqrt((np.abs(a32 - a64) ** 2).mean()) / scale < 5e-5
+
+
+def test_analysis_cg_scan_mode_full_lmax():
+    """CG analysis in scan Legendre mode, full lmax = 3*nside - 1.
+
+    Two regressions: (1) jax.scipy.sparse.linalg.cg failed to trace the
+    lax.scan Legendre operator on jax 0.8 (hand-rolled fori_loop CG now);
+    (2) un-guarded CG diverged violently once the residual hit rounding
+    level — with the guard, extra iterations are free.  Full-lmax
+    map2alm round-trip converges to near machine precision (the corner
+    modes need tens of iterations; healpy's Jacobi refinement cannot
+    recover them at all)."""
+    nside = 16
+    lmax = 3 * nside - 1
+    rng = np.random.RandomState(5)
+    alm = _random_alm(rng, lmax)
+    op = sht.SHT(nside, lmax, legendre_mode="scan", fft_mode="xla")
+    g = op.synthesis_grid(jnp.asarray(alm))
+    a60 = np.asarray(op.analysis_grid(g, iter=60, method="cg"))
+    rel = np.linalg.norm(a60 - alm) / np.linalg.norm(alm)
+    assert rel < 1e-8
+    # over-iterating far past convergence must not destabilize
+    a150 = np.asarray(op.analysis_grid(g, iter=150, method="cg"))
+    rel150 = np.linalg.norm(a150 - alm) / np.linalg.norm(alm)
+    assert rel150 < 1e-10
