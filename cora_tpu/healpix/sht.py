@@ -1105,15 +1105,16 @@ def _analysis_cg_grid(op, t, fgrid, niter):
     x0 = b
     r0 = b - N(x0)
     rs0 = dot(r0, r0)
-    # freeze the iteration once the residual reaches rounding level —
-    # un-guarded CG diverges violently after convergence (r is then pure
-    # noise and pᵀNp can round to ~0)
+    # un-guarded CG diverges violently once the residual reaches rounding
+    # level (r becomes pure noise and pᵀNp can round toward 0), so (a)
+    # freeze the iteration when ‖r‖ hits ~50·eps of its start or grows
+    # well past its best, and (b) return the lowest-residual iterate seen
     eps = jnp.finfo(r0.real.dtype).eps
-    tol2 = rs0 * eps * eps * 100.0
+    tol2 = rs0 * (50.0 * eps) ** 2
 
     def body(_, carry):
-        x, r, p, rs = carry
-        live = rs > tol2
+        x, r, p, rs, xb, rs_min = carry
+        live = (rs > tol2) & (rs < 1e6 * rs_min)
         Np = N(p)
         denom = dot(p, Np)
         alpha = jnp.where(
@@ -1126,9 +1127,14 @@ def _analysis_cg_grid(op, t, fgrid, niter):
             live & (rs > 0), rs_new / jnp.maximum(rs, 1e-300), 0.0
         )
         p = jnp.where(live, r + beta * p, p)
-        return x, r, p, rs_new
+        better = rs_new < rs_min
+        xb = jnp.where(better, x, xb)
+        rs_min = jnp.where(better, rs_new, rs_min)
+        return x, r, p, rs_new, xb, rs_min
 
-    y, _, _, _ = lax.fori_loop(0, niter, body, (x0, r0, r0, rs0))
+    _, _, _, _, y, _ = lax.fori_loop(
+        0, niter, body, (x0, r0, r0, rs0, x0, rs0)
+    )
     return y / s
 
 

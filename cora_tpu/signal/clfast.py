@@ -14,11 +14,30 @@ With the window baked into the table, the channel-integrated C_l grid costs
 exactly one bilinear gather per (l, nu, nu') triple and runs as a single
 jitted program on-device: 1536×256² evaluations in milliseconds.
 
-Accuracy note: the window width W = |dχ/dν|·Δν varies by ~20% across a
-2:1 band; we evaluate it at the band centre.  The resulting C_l differ from
-the Romberg-in-z integration at the sub-percent level (cross-channel
-decorrelation is dominated by the same radial top-hat), well inside the
-cosmic-variance recovery contract.
+The window width W = |dχ/dν|·Δν varies by ~2.5× across a 2:1 band, so a
+single band-centre W is NOT sub-percent (measured: 19% on the diagonal
+C_l at the 800 MHz edge of a 400-800 MHz 64-channel band, l=128, vs the
+reference's Romberg channel integration).  The default ``window="exact"``
+mode therefore uses per-channel widths with no approximation in W:
+
+    sinc(W1 k/2π)·sinc(W2 k/2π) = [cos(k(a-b)) - cos(k(a+b))]/(2 k² a b),
+    a = W1/2, b = W2/2,
+
+so the windowed kpar integral is a 4-point combination of
+K(r) = ∫dk P(k)/k²(1-cos kr), whose second derivative is the unwindowed
+DCT table I(r):
+
+    C(r; a, b) = [K(r+a+b) + K(|r-a-b|) - K(r+a-b) - K(|r-a+b|)]/(4ab).
+
+K is built once host-side as the (affine-part-removed, hence decaying)
+double reverse-cumulative integral of I over the existing rpar grid —
+same table size, 4 bilinear gathers per (l, ν, ν') instead of 1, exact
+per-channel-pair top-hat windows.  Validated against
+``skysim.clarray(zromb=3)`` on the 64-channel 2:1 band in
+tests/test_skysim.py (sub-percent everywhere).
+
+``window="centre"`` keeps the old single-width behaviour for comparison;
+``window="none"`` (or freq_width=0) disables channel integration.
 """
 
 from __future__ import annotations
@@ -30,7 +49,31 @@ import jax.numpy as jnp
 from .. import constants
 
 
-def build_cl_tables(model, freqs, freq_width=None, dtype=np.float32):
+def _double_antiderivative(I, dr):
+    """(K̃, β) rows from DCT rows: K̃(r) = ∫_r^rmax (s-r)·I(s) ds.
+
+    K̃ is K(r) = ∫_0^r (r-s) I(s) ds with its affine part -β·r + γ removed
+    (β = ∫_0^rmax I), so it decays toward zero at large r and stays
+    representable in float32.  Two reverse cumulative trapezoids:
+    T(r) = ∫_r^rmax I, then K̃(r) = ∫_r^rmax T.
+
+    The affine part cancels in the 4-point combination only while no
+    |r ± a ∓ b| argument folds at zero; the evaluators restore it in
+    closed form as 2β·(max(r, a+b) - max(r, |a-b|)), which needs β.
+    """
+
+    def rev_cumtrapz(a):
+        inc = 0.5 * (a[..., 1:] + a[..., :-1]) * dr
+        out = np.zeros_like(a)
+        out[..., :-1] = np.cumsum(inc[..., ::-1], axis=-1)[..., ::-1]
+        return out
+
+    T = rev_cumtrapz(I)
+    return rev_cumtrapz(T), T[..., 0]
+
+
+def build_cl_tables(model, freqs, freq_width=None, dtype=np.float32,
+                    window="exact"):
     """Precompute device tables for fast C_l evaluation of a 21cm-like model.
 
     Parameters
@@ -42,6 +85,12 @@ def build_cl_tables(model, freqs, freq_width=None, dtype=np.float32):
         Channel centre frequencies in MHz.
     freq_width : float, optional
         Channel width in MHz (default: spacing of the first two channels).
+    window : {"exact", "centre", "none"}
+        "exact": per-channel top-hat widths via the 4-point K̃ lookup
+        (module docstring) — the default and the accuracy-validated path.
+        "centre": single band-centre width baked into the DCT (legacy;
+        up to ~19% off at the edges of a 2:1 band).
+        "none": no channel integration.
 
     Returns
     -------
@@ -51,35 +100,78 @@ def build_cl_tables(model, freqs, freq_width=None, dtype=np.float32):
     freqs = np.asarray(freqs, dtype=np.float64)
     if freq_width is None:
         freq_width = np.abs(freqs[1] - freqs[0])
+    if freq_width == 0.0:
+        window = "none"
 
     z = constants.nu21 / freqs - 1.0
     chi = model.cosmology.comoving_distance(z)
 
-    # channel width in comoving distance at band centre
-    zc = np.median(z)
-    dz = 1e-3
-    dchi_dz = (
-        model.cosmology.comoving_distance(zc + dz)
-        - model.cosmology.comoving_distance(zc - dz)
-    ) / (2 * dz)
-    dz_dnu = constants.nu21 / np.median(freqs) ** 2
-    W = abs(dchi_dz * dz_dnu * freq_width)
+    if window == "exact":
+        # per-channel radial widths: the exact comoving span of the channel
+        z_lo = constants.nu21 / (freqs + freq_width / 2.0) - 1.0
+        z_hi = constants.nu21 / (freqs - freq_width / 2.0) - 1.0
+        Wi = np.abs(
+            np.asarray(model.cosmology.comoving_distance(z_hi), np.float64)
+            - np.asarray(model.cosmology.comoving_distance(z_lo), np.float64)
+        )
+        # windows far below the rpar grid resolution are numerically
+        # indistinguishable from no window (and the 4-point combination
+        # would cancel catastrophically) — fall back
+        if np.max(Wi) < 1e-3 * np.pi / model._kparmax:
+            window = "none"
 
-    # Build the DCT tables with the sinc² channel window baked in.
-    old_window = model._freq_window
-    old_cache = model._aps_cache
-    model._freq_window = W
-    model._aps_cache = False
-    model._build_fft_cache()
-    tables = dict(
-        dd=model._aps_dd.astype(dtype),
-        dv=model._aps_dv.astype(dtype),
-        vv=model._aps_vv.astype(dtype),
-    )
-    model._freq_window = old_window
-    model._aps_cache = old_cache
-    if old_cache:
+    if window == "exact":
+        old_window = model._freq_window
+        old_cache = model._aps_cache
+        model._freq_window = 0.0
+        model._aps_cache = False
         model._build_fft_cache()
+        dr = np.pi / model._kparmax
+        Kdd, bdd = _double_antiderivative(model._aps_dd, dr)
+        Kdv, bdv = _double_antiderivative(model._aps_dv, dr)
+        Kvv, bvv = _double_antiderivative(model._aps_vv, dr)
+        tables = dict(
+            dd=Kdd.astype(dtype),
+            dv=Kdv.astype(dtype),
+            vv=Kvv.astype(dtype),
+            beta_dd=bdd.astype(dtype),
+            beta_dv=bdv.astype(dtype),
+            beta_vv=bvv.astype(dtype),
+            a=(Wi / 2.0).astype(dtype),
+        )
+        model._freq_window = old_window
+        model._aps_cache = old_cache
+        if old_cache:
+            model._build_fft_cache()
+    else:
+        if window == "none":
+            W = 0.0
+        else:
+            # channel width in comoving distance at band centre
+            zc = np.median(z)
+            dz = 1e-3
+            dchi_dz = (
+                model.cosmology.comoving_distance(zc + dz)
+                - model.cosmology.comoving_distance(zc - dz)
+            ) / (2 * dz)
+            dz_dnu = constants.nu21 / np.median(freqs) ** 2
+            W = abs(dchi_dz * dz_dnu * freq_width)
+
+        # Build the DCT tables with the sinc² channel window baked in.
+        old_window = model._freq_window
+        old_cache = model._aps_cache
+        model._freq_window = W
+        model._aps_cache = False
+        model._build_fft_cache()
+        tables = dict(
+            dd=model._aps_dd.astype(dtype),
+            dv=model._aps_dv.astype(dtype),
+            vv=model._aps_vv.astype(dtype),
+        )
+        model._freq_window = old_window
+        model._aps_cache = old_cache
+        if old_cache:
+            model._build_fft_cache()
 
     D = model.growth_factor(z) / model.growth_factor(model.ps_redshift)
     tables.update(
@@ -150,6 +242,45 @@ def cl_grid_np(tables, lmax):
     dv = np.asarray(tables["dv"])
     vv = np.asarray(tables["vv"])
 
+    if "a" in tables:
+        # exact per-channel windows: 4-point K̃ combination plus the
+        # closed-form affine restoration (module doc / _double_antiderivative)
+        av = np.asarray(tables["a"], dtype=np.float64)
+        dr = np.pi / kparmax
+        apb = av[:, None] + av[None, :]
+        amb = np.abs(av[:, None] - av[None, :])
+        ys = [
+            (rpar + apb) / dr,
+            np.abs(rpar - apb) / dr,
+            (rpar + amb) / dr,
+            np.abs(rpar - amb) / dr,
+        ]
+        sgn = (1.0, 1.0, -1.0, -1.0)
+        norm = 1.0 / (4.0 * av[:, None] * av[None, :])
+        aff = 2.0 * (np.maximum(rpar, apb) - np.maximum(rpar, amb))
+        betas = {
+            id(dd): np.asarray(tables["beta_dd"], np.float64),
+            id(dv): np.asarray(tables["beta_dv"], np.float64),
+            id(vv): np.asarray(tables["beta_vv"], np.float64),
+        }
+
+        def lookup(tab, x):
+            acc = 0.0
+            for s, y2 in zip(sgn, ys):
+                acc = acc + s * interp2d_np(
+                    tab, x, np.broadcast_to(y2[None], x.shape)
+                )
+            beta = betas[id(tab)]
+            nb = beta.shape[0]
+            xx = np.clip(x, 0.0, nb - 1e-5)
+            x0 = np.clip(np.floor(xx).astype(np.int64), 0, nb - 2)
+            bx = beta[x0] * (1 - (xx - x0)) + beta[x0 + 1] * (xx - x0)
+            return (acc + bx * aff[None]) * norm[None]
+    else:
+        def lookup(tab, x):
+            y = np.broadcast_to(y2d[None], x.shape)
+            return interp2d_np(tab, x, y)
+
     # chunk over l to bound host memory for large (lmax, nz) grids
     out = np.empty((lmax + 1,) + xc.shape)
     for lo in range(0, lmax + 1, 256):
@@ -159,11 +290,10 @@ def cl_grid_np(tables, lmax):
             / np.log10(kperpmax / kperpmin)
             * (nkperp - 1)
         )
-        y = np.broadcast_to(y2d[None], x.shape)
         out[lo:hi] = (A / (xc**2 * np.pi))[None] * (
-            bb[None] * interp2d_np(dd, x, y)
-            + fb[None] * interp2d_np(dv, x, y)
-            + ff[None] * interp2d_np(vv, x, y)
+            bb[None] * lookup(dd, x)
+            + fb[None] * lookup(dv, x)
+            + ff[None] * lookup(vv, x)
         )
     return out
 
@@ -193,13 +323,45 @@ def cl_grid(tables, lmax):
         / jnp.log10(kperpmax / kperpmin)
         * (nkperp - 1)
     )
-    y = jnp.broadcast_to(
-        (rpar / (jnp.pi / kparmax))[None, :, :], x.shape
-    )
 
-    psdd = _interp2d(tables["dd"], x, y)
-    psdv = _interp2d(tables["dv"], x, y)
-    psvv = _interp2d(tables["vv"], x, y)
+    if "a" in tables:
+        # exact per-channel windows: 4-point K̃ combination plus the
+        # closed-form affine restoration (module doc / _double_antiderivative)
+        av = tables["a"]
+        dr = jnp.pi / kparmax
+        apb = av[:, None] + av[None, :]
+        amb = jnp.abs(av[:, None] - av[None, :])
+        ys = [
+            (rpar + apb) / dr,
+            jnp.abs(rpar - apb) / dr,
+            (rpar + amb) / dr,
+            jnp.abs(rpar - amb) / dr,
+        ]
+        sgn = (1.0, 1.0, -1.0, -1.0)
+        norm = (1.0 / (4.0 * av[:, None] * av[None, :]))[None]
+        aff = (2.0 * (jnp.maximum(rpar, apb) - jnp.maximum(rpar, amb)))[None]
+
+        def lookup(tab, beta):
+            acc = 0.0
+            for s, y2 in zip(sgn, ys):
+                acc = acc + s * _interp2d(
+                    tab, x, jnp.broadcast_to(y2[None], x.shape)
+                )
+            nb = beta.shape[0]
+            xx = jnp.clip(x, 0.0, nb - 1e-5)
+            x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, nb - 2)
+            bx = beta[x0] * (1 - (xx - x0)) + beta[x0 + 1] * (xx - x0)
+            return (acc + bx * aff) * norm
+
+        psdd = lookup(tables["dd"], tables["beta_dd"])
+        psdv = lookup(tables["dv"], tables["beta_dv"])
+        psvv = lookup(tables["vv"], tables["beta_vv"])
+    else:
+        y = jnp.broadcast_to((rpar / (jnp.pi / kparmax))[None, :, :], x.shape)
+
+        psdd = _interp2d(tables["dd"], x, y)
+        psdv = _interp2d(tables["dv"], x, y)
+        psvv = _interp2d(tables["vv"], x, y)
 
     D, f, b, pf = tables["D"], tables["f"], tables["b"], tables["pf"]
     A = (D * pf)[:, None] * (D * pf)[None, :]

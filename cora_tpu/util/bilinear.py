@@ -82,7 +82,12 @@ def interp2d(arr, x, y):
 def interp(arr, x, y, v=None):
     """Reference-compatible signature (bilinearmap.pyx:14); returns the result.
 
-    The output argument ``v`` is accepted for drop-in compatibility but a new
-    array is always returned (JAX arrays are immutable).
+    When ``v`` is a mutable numpy array the result is also written into it
+    (the reference kernel's only output channel — callers like
+    cora/signal/corr.py:972 read ``v``, not the return value).  JAX arrays
+    are immutable, so the in-place channel uses the host numpy variant.
     """
+    if v is not None and isinstance(v, np.ndarray):
+        v[...] = interp2d_np(arr, x, y)
+        return v
     return interp2d(arr, x, y)
