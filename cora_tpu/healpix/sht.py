@@ -161,7 +161,10 @@ def _legendre_contract_scan_streamed(op, t, alm_block_fn, batch_shape, dtype,
     (same scheme as the cached path).  l_chunk must be even.
     """
     L = op.lmax + 1
-    nh = op.nhalf
+    # ring count from the tables, not the op: under 2-D (freq × ring-band)
+    # sharding each device holds an nh-slice of z_half/lam_mm/lam_k0/lam_ck
+    # and runs this same program on its own rings (parallel/mesh.py)
+    nh = t["z_half"].shape[0]
     lc = op.l_chunk
     if lc % 2:
         raise ValueError("scan streaming requires even l_chunk")

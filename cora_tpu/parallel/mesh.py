@@ -164,3 +164,160 @@ def synthesize_cube_sharded(
             jnp.asarray(roots), NamedSharding(mesh, spec_r)
         )
         return jax.jit(_local)(roots_d, key)
+
+
+def synthesize_cube_sharded_2d(
+    op, tables, roots, key, mesh, fchunk=None,
+    freq_axis="freq", band_axis="band",
+):
+    """Streamed correlated synthesis sharded over a 2-D (freq × band) mesh.
+
+    The Nside ≥ 2048 program (BASELINE stretch row): the single-chip step
+    working set exceeds one chip's HBM even in the Λ-free scan mode, so the
+    Legendre stage is additionally sharded over RINGS — each device of a
+    frequency shard runs the identical scaled/checkpointed λ recurrence on
+    its own 1/n_band slice of the northern rings (z_half/lam_mm/lam_k0/
+    lam_ck are simply row-sliced; the recurrence is independent per ring).
+    This splits every large per-step buffer (the G accumulators, the λ
+    carry, the checkpoint table) by n_band with ZERO communication in the
+    hot loop: the white-noise draw is regenerated per device from the same
+    key (RNG is cheap), exactly like the 1-D frequency sharding.
+
+    One all-gather of the ring-m matrix G per frequency chunk (over the
+    inner ICI axis) reassembles the rings for the (much lighter) ring FFT
+    stage, which then runs on a 1/n_band frequency sub-slice per device —
+    so the ring stage is also (freq × band)-parallel with no redundancy.
+
+    Reference pattern being replaced: MPI ell-shard → all-to-all →
+    freq-shard (cora/core/skysim.py:108-130); here the only collective is
+    the G all-gather riding ICI.
+
+    Parameters
+    ----------
+    op : SHT in scan legendre mode (Λ-free; ring-band sharding of the
+        cached-Λ mode would slice Λ the same way but is pointless — the
+        cached table only exists below the HBM sizes that need 2-D).
+    tables : op.tables(False) — host-built device tables.
+    roots : [L, nz, nz]; nz divisible by mesh freq size; the local
+        frequency count must be divisible by the band size.
+    fchunk : ring-stage frequency chunk per device (default: all local).
+
+    Returns
+    -------
+    [nz, nring, nq_max] dense ring-grid cube, sharded (freq × band) over
+    the frequency axis.
+    """
+    from functools import partial
+
+    try:  # jax >= 0.8 moved shard_map out of experimental
+        from jax import shard_map as _shard_map
+
+        def shard_map(f, **kw):
+            rep = kw.pop("check_rep", None)
+            if rep is not None:
+                kw["check_vma"] = rep
+            return _shard_map(f, **kw)
+
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..healpix.sht import (
+        _correlated_GeGo_scan,
+        _expand_rings,
+        _rings_to_grid,
+    )
+
+    if "lam" in tables:
+        raise ValueError("2-D sharding requires scan (Λ-free) legendre mode")
+
+    n_freq = mesh.shape[freq_axis]
+    n_band = mesh.shape[band_axis]
+    L, _, nz = roots.shape
+    if nz % n_freq:
+        raise ValueError(f"nz={nz} not divisible by freq mesh size {n_freq}")
+    nloc = nz // n_freq
+    if nloc % n_band:
+        raise ValueError(
+            f"local nz={nloc} not divisible by band mesh size {n_band}"
+        )
+    fchunk = min(fchunk or nloc, nloc)
+    if nloc % fchunk or fchunk % n_band:
+        raise ValueError("fchunk must divide local nz and be divisible by "
+                         "the band mesh size")
+    fsub = fchunk // n_band
+    nLb = nloc // n_band
+
+    # Device (f, b) writes, for Legendre chunk i and offset j, the cube row
+    # fed-roots row q = f·nloc + i·fchunk + b·fsub + j into output slot
+    # s = f·nloc + b·nLb + i·fsub + j (out_specs (freq, band)-major).  Feed
+    # the roots rows permuted so slot s carries the TRUE frequency s:
+    # fed[:, q(s), :] = roots[:, s, :].  Only the output-row axis is
+    # permuted; the latent axis (and hence the realisation and the
+    # cross-frequency covariance) is untouched.
+    f_, b_, i_, j_ = np.meshgrid(
+        np.arange(n_freq), np.arange(n_band),
+        np.arange(nloc // fchunk), np.arange(fsub), indexing="ij",
+    )
+    s_idx = (f_ * nloc + b_ * nLb + i_ * fsub + j_).ravel()
+    q_idx = (f_ * nloc + i_ * fchunk + b_ * fsub + j_).ravel()
+    roots = np.asarray(roots)
+    roots_fed = np.empty_like(roots)
+    roots_fed[:, q_idx, :] = roots[:, s_idx, :]
+
+    # table sharding: northern-ring-indexed leaves split over `band`
+    ring_axis_of = {"z_half": 0, "lam_mm": 0, "lam_k0": 0, "lam_ck": 2}
+    t_specs = {}
+    for k_, v in tables.items():
+        if k_ in ring_axis_of:
+            s = [None] * v.ndim
+            s[ring_axis_of[k_]] = band_axis
+            t_specs[k_] = P(*s)
+        else:
+            t_specs[k_] = P(*([None] * v.ndim))
+
+    spec_r = P(None, freq_axis, None)
+    spec_o = P((freq_axis, band_axis), None, None)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(t_specs, spec_r, P()),
+        out_specs=spec_o,
+        check_rep=False,
+    )
+    def _local(t_loc, roots_rows, key):
+        nring = 4 * op.nside - 1
+        nq = t_loc["bl_C"].shape[-1]
+        bidx = jax.lax.axis_index(band_axis)
+        out = jnp.zeros((nLb, nring, nq), jnp.float32)
+
+        def chunk_body(i, acc):
+            z0 = i * fchunk
+            # Legendre stage on this device's rings, all fchunk freqs
+            Ge, Go = _correlated_GeGo_scan(op, t_loc, roots_rows, key,
+                                           z0, fchunk)
+            # reassemble rings over the inner ICI axis (~the only
+            # collective in the program), then keep 1/n_band of the
+            # frequencies for the local ring stage
+            Ge = jax.lax.all_gather(
+                Ge, band_axis, axis=1, tiled=True)
+            Go = jax.lax.all_gather(
+                Go, band_axis, axis=1, tiled=True)
+            ge = jax.lax.dynamic_slice_in_dim(Ge, bidx * fsub, fsub, axis=0)
+            go = jax.lax.dynamic_slice_in_dim(Go, bidx * fsub, fsub, axis=0)
+            g = _rings_to_grid(op, t_loc, _expand_rings(op, t_loc, ge, go))
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, g, i * fsub, axis=0
+            )
+
+        return jax.lax.fori_loop(0, nloc // fchunk, chunk_body, out)
+
+    with mesh:
+        t_dev = {
+            k_: jax.device_put(v, NamedSharding(mesh, t_specs[k_]))
+            for k_, v in tables.items()
+        }
+        roots_d = jax.device_put(
+            jnp.asarray(roots_fed), NamedSharding(mesh, spec_r)
+        )
+        return jax.jit(_local)(t_dev, roots_d, key)

@@ -118,3 +118,32 @@ def test_rotator_roundtrip():
     nside = 8
     m = np.cos(np.asarray(pixel.pix2ang(nside, np.arange(12 * nside**2))[0]))
     assert np.allclose(r.rotate_map_pixel(m), coord_x2y(m, "G", "C"))
+
+
+def test_fits_map_roundtrip(tmp_path):
+    """Pure-numpy FITS map I/O (healpy read_map/write_map subset)."""
+    from cora_tpu.healpix import fits as hfits
+    from cora_tpu.healpix import pixel
+
+    nside = 16
+    rng = np.random.RandomState(3)
+    m = rng.randn(12 * nside * nside)
+
+    p = str(tmp_path / "ring.fits")
+    hfits.write_map(p, m)
+    back = hfits.read_map(p)
+    assert np.abs(back - m.astype(np.float32)).max() == 0.0
+
+    hdr = hfits.read_map_header(p)
+    assert hdr["NSIDE"] == nside and hdr["ORDERING"] == "RING"
+
+    # NESTED on disk, RING on read
+    pn = str(tmp_path / "nest.fits")
+    hfits.write_map(pn, np.asarray(pixel.reorder(m, r2n=True)), nest=True)
+    back_n = hfits.read_map(pn)
+    assert np.abs(back_n - m.astype(np.float32)).max() == 0.0
+
+    # f64 storage
+    pd = str(tmp_path / "d.fits")
+    hfits.write_map(pd, m, dtype=np.float64)
+    assert np.abs(hfits.read_map(pd) - m).max() == 0.0

@@ -140,3 +140,48 @@ def test_synthesize_cube_sharded_scan_mode():
     )
     assert cube8.shape == ref.shape
     assert np.abs(cube8 - ref).max() == 0.0
+
+
+@requires_multi
+@pytest.mark.parametrize("mesh_shape,fchunk", [((2, 4), 4), ((4, 2), 2)])
+def test_synthesize_cube_sharded_2d(mesh_shape, fchunk):
+    """2-D (freq × ring-band) sharded synthesis == single-device result.
+
+    The Nside ≥ 2048 program (VERDICT r1 item 6): the Legendre stage's
+    z_half/lam_mm/lam_k0/lam_ck tables are row-sliced over the band axis,
+    every device runs the same checkpointed scan on its own rings, and a
+    single all-gather of G reassembles rings for the (band-split) ring
+    stage.  Values must match the unsharded streamed path exactly up to
+    reduction order — including the multi-chunk case, where the output
+    slot ↔ frequency permutation of the fed roots is load-bearing."""
+    from jax.sharding import Mesh
+    from cora_tpu.healpix.sht import SHT, synthesis_grid_correlated
+    from cora_tpu.parallel.mesh import synthesize_cube_sharded_2d
+
+    nside, nz = 16, 16
+    lmax = 3 * nside - 1
+    op = SHT(nside, lmax, legendre_mode="scan", fft_mode="mm", l_chunk=16,
+             scan_ckpt=True)
+    t = op.tables(False)
+    rng = np.random.RandomState(2)
+    roots = rng.randn(lmax + 1, nz, nz).astype(np.float32) * 0.1
+    key = jax.random.PRNGKey(9)
+
+    devs = np.array(jax.devices()[:8]).reshape(mesh_shape)
+    mesh = Mesh(devs, ("freq", "band"))
+    cube = np.asarray(
+        synthesize_cube_sharded_2d(op, t, roots, key, mesh, fchunk=fchunk)
+    )
+
+    ref = np.concatenate(
+        [
+            np.asarray(
+                synthesis_grid_correlated(op, t, jnp.asarray(roots), key,
+                                          i, fchunk)
+            )
+            for i in range(0, nz, fchunk)
+        ],
+        axis=0,
+    )
+    assert cube.shape == ref.shape
+    assert np.abs(cube - ref).max() < 1e-6 * max(1.0, np.abs(ref).max())

@@ -119,17 +119,34 @@ alm_rt = xfer.get(
 res["tpu_analysis_s"] = round(time.time() - t0, 2)
 num = np.linalg.norm(alm_rt[2:] - alm[2:].astype(np.complex64))
 res["alm_roundtrip_rel"] = float(num / np.linalg.norm(alm[2:]))
+nside_v = op.nside
+band2n = slice(2, min(2 * nside_v, lmax) + 1)
+num_b = np.linalg.norm(
+    alm_rt[band2n] - alm[band2n].astype(np.complex64)
+)
+res["alm_roundtrip_rel_band2nside"] = float(
+    num_b / np.linalg.norm(alm[band2n])
+)
 
-# --- C_l recovery from the round-tripped alm
+# --- C_l recovery from the round-tripped alm: per-ell chi^2 against
+# exact cosmic variance ((2l+1) c_hat/C ~ chi^2_{2l+1}; VERDICT r1 #7)
 w = np.ones(L)
 w[1:] = 2.0
 cl_hat = (np.abs(alm_rt) ** 2 * w[None, :]).sum(axis=1) / (
     2 * np.arange(L) + 1.0
 )
 band = slice(8, lmax // 2)
-ratio = cl_hat[band] / cl_in[band]
-res["cl_ratio_mean"] = float(ratio.mean())
-res["cl_ratio_std"] = float(ratio.std())
+lb = np.arange(L)[band]
+t_per = (2 * lb + 1) * cl_hat[band] / cl_in[band]
+N = int((2 * lb + 1).sum())
+res["cl_chi2"] = float(t_per.sum())
+res["cl_chi2_dof"] = N
+res["cl_chi2_z"] = float((t_per.sum() - N) / np.sqrt(2 * N))
+z_l = (t_per - (2 * lb + 1)) / np.sqrt(2 * (2 * lb + 1.0))
+res["cl_chi2_zl_max"] = float(np.abs(z_l).max())
+res["cl_within_cosmic_variance"] = bool(
+    abs(res["cl_chi2_z"]) < 5.0 and res["cl_chi2_zl_max"] < 5.5
+)
 
 print(json.dumps(res, indent=1))
 with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
