@@ -206,16 +206,80 @@ def main():
     best = min(times)
     print(f"# times: {['%.2f' % t for t in times]}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"full 21cm cube synth (Nside={nside} x {nfreq} freq)",
-                "value": round(best, 3),
-                "unit": "s",
-                "vs_baseline": round(5.0 / best, 3),
-            }
-        )
-    )
+    # --- FLOP accounting → MFU (VERDICT r1 item 10) ---------------------
+    # Prefer XLA's own count of the compiled program; fall back to the
+    # analytic per-stage count (draw einsum + Legendre einsums + Bluestein
+    # matmul-FFT stages) if cost_analysis is unavailable on this backend.
+    flops = None
+    try:
+        ca = step_fn.lower(bench_key(0), roots_d, sht_tables).compile(
+        ).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+    if not flops:
+        flops = _analytic_flops(op, nfreq, fleg)
+        src = "analytic"
+    else:
+        src = "xla"
+
+    kind = jax.devices()[0].device_kind
+    peaks = {  # dense bf16 peak FLOP/s per chip
+        "TPU v5e": 197e12, "TPU v5 lite": 197e12, "TPU v5 litepod": 197e12,
+        "TPU v4": 275e12, "TPU v5p": 459e12, "TPU v6e": 918e12,
+        "TPU v6 lite": 918e12,
+    }
+    peak = next((v for k, v in peaks.items() if k.lower() in kind.lower()),
+                197e12 if "tpu" in kind.lower() else None)
+    tflops = flops / best / 1e12
+    out = {
+        "metric": f"full 21cm cube synth (Nside={nside} x {nfreq} freq)",
+        "value": round(best, 3),
+        "unit": "s",
+        "vs_baseline": round(5.0 / best, 3),
+        "tflops": round(tflops, 3),
+        "flops": int(flops),
+        "flops_source": src,
+    }
+    if peak:
+        # NOTE precision="highest" f32 einsums run ~3 bf16 MXU passes per
+        # logical MAC on TPU, so the hardware does ~3x `flops`; mfu here
+        # is logical-work utilisation against the bf16 peak (the honest,
+        # comparable-with-other-frameworks definition)
+        out["mfu"] = round(flops / best / peak, 4)
+        out["device_kind"] = kind
+    print(json.dumps(out))
+
+
+def _analytic_flops(op, nfreq, fleg):
+    """Logical real-FLOP count of one full-cube step (all three stages).
+
+    Convention: one real multiply-add = 2 flops; real λ × complex a_lm
+    MAC = 4; complex × complex MAC = 8.
+    """
+    L = op.lmax + 1
+    nh = op.nhalf
+    nz = nfreq
+    lc = op.l_chunk
+    nchunk = -(-L // lc)
+    draw = leg = 0.0
+    for c in range(nchunk):
+        mw = min(L, ((min(L, (c + 1) * lc) + 127) // 128) * 128)
+        # draw: roots[lc, fleg, nz](c64) x xi[lc, nz, mw](c64)
+        draw += 8.0 * lc * fleg * nz * mw
+        # legendre: lam[lc, nh, mw](f32) x alm[fleg, lc, mw](c64)
+        leg += 4.0 * lc * nh * fleg * mw
+    sweeps = nz / fleg
+    # ring stage: per frequency, 2 matmul-FFT applications (fwd+inv) at
+    # nfft2, each ~2 matmuls of [nring, n1, n2]-ish cost 8*nring*nfft2*
+    # (n1+n2) complex flops (fftmm factorization), plus the W-length
+    # equatorial FFTs — approximate with the dominant nfft2 pair
+    n1, n2 = op._fft2_n1n2
+    nring = 4 * op.nside - 1
+    ring = 2 * 8.0 * nring * op.nfft2 * (n1 + n2) * nz
+    return draw * sweeps + leg * sweeps + ring
 
 
 if __name__ == "__main__":

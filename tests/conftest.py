@@ -23,3 +23,33 @@ try:
     jax.config.update("jax_platforms", "cpu")
 except RuntimeError:
     pass
+
+
+# --- test tiers -----------------------------------------------------------
+# Default tier: fast (< ~2 min on one core).  The long end-to-end tests are
+# marked `slow` and run with --runslow (or CORA_TPU_RUN_SLOW=1) — CI runs
+# both tiers.
+
+import pytest
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (long end-to-end tier)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end test (opt in via --runslow)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("CORA_TPU_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -43,6 +43,7 @@ def _check_map_schema(fname, nfreq, npol, nside):
         return m[:]
 
 
+@pytest.mark.slow
 def test_cli_21cm(tmp_path):
     out = str(tmp_path / "map.h5")
     runner = CliRunner()
@@ -133,6 +134,7 @@ def test_cli_gaussianfg(tmp_path):
     assert m[:, 0].std() > 0
 
 
+@pytest.mark.slow
 def test_cli_galaxy(tmp_path):
     out = str(tmp_path / "gal.h5")
     runner = CliRunner()
@@ -154,6 +156,7 @@ def test_cli_galaxy(tmp_path):
     assert m[:, 0].mean() > 0.5
 
 
+@pytest.mark.slow
 def test_cli_foreground(tmp_path):
     out = str(tmp_path / "fore.h5")
     runner = CliRunner()

@@ -16,6 +16,7 @@ tests/test_foregrounds.py:31.
 """
 
 import numpy as np
+import pytest
 
 from cora_tpu.signal.corr21cm import Corr21cm
 
@@ -25,6 +26,7 @@ REF_ALGO_V1 = 8.950186e-13  # l=400, fi=40, fj=40
 REF_ALGO_V2 = 1.356909e-18  # l=200, fi=10, fj=40
 
 
+@pytest.mark.slow
 def test_corr21cm_matches_reference_algorithm():
     cr = Corr21cm()
 

@@ -92,6 +92,7 @@ def test_combined_pointsources_band():
     assert (cs[:, 3] == 0.0).all()
 
 
+@pytest.mark.slow
 def test_galaxy_band():
     """Galaxy map statistical bands (reference tests/test_maps.py:12-33).
 

@@ -168,6 +168,7 @@ def small_chain():
     return corr, aps, init
 
 
+@pytest.mark.slow
 def test_initial_lss(small_chain):
     corr, aps, init = small_chain
     assert init.delta.shape == (8, 768)
@@ -219,6 +220,7 @@ def test_container_roundtrip(tmp_path, small_chain):
     assert loaded.cosmology.H0 == init.cosmology.H0
 
 
+@pytest.mark.slow
 def test_yaml_pipeline(tmp_path):
     """The YAML pipeline runner drives the task DAG end to end."""
     from cora_tpu.pipeline import Pipeline
@@ -261,6 +263,7 @@ def test_flat_spectrum_map():
     assert (m.map[:, 1:] == 0).all()
 
 
+@pytest.mark.slow
 def test_yaml_pipeline_full_chain(tmp_path):
     """The docs' full ZA chain (two-input ZeldovichDynamics via `in` lists,
     stage save) runs from YAML end to end."""

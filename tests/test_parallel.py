@@ -28,6 +28,7 @@ def _corr(lmax, nz):
 
 
 @requires_multi
+@pytest.mark.slow
 def test_mkfullsky_sharded_matches_single_device():
     nside, nz = 16, 16
     lmax = 3 * nside - 1
@@ -64,6 +65,7 @@ def test_redistribute_roundtrip():
 
 
 @requires_multi
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
@@ -71,6 +73,7 @@ def test_graft_dryrun_multichip():
 
 
 @requires_multi
+@pytest.mark.slow
 def test_synthesize_cube_sharded_matches_streamed():
     from cora_tpu.healpix.sht import SHT, synthesis_grid_correlated
     from cora_tpu.parallel.mesh import synthesize_cube_sharded
@@ -110,6 +113,7 @@ def test_pod_mesh_shapes():
 
 
 @requires_multi
+@pytest.mark.slow
 def test_synthesize_cube_sharded_scan_mode():
     """The Λ-free (checkpointed scan) mode must shard identically: the
     multi-chip path at Nside ≥ 1024 relies on it (cached Λ cannot fit
@@ -144,6 +148,7 @@ def test_synthesize_cube_sharded_scan_mode():
 
 @requires_multi
 @pytest.mark.parametrize("mesh_shape,fchunk", [((2, 4), 4), ((4, 2), 2)])
+@pytest.mark.slow
 def test_synthesize_cube_sharded_2d(mesh_shape, fchunk):
     """2-D (freq × ring-band) sharded synthesis == single-device result.
 

@@ -145,6 +145,7 @@ def test_alm2map_der1():
     dth_exp = 2 * np.real(a * c * np.cos(th) * np.exp(1j * ph))
     assert np.abs(dth - dth_exp).max() < 1e-12
 
+@pytest.mark.slow
 def test_streamed_correlated_synthesis_matches_explicit():
     """The fused streaming draw+synthesis must equal drawing the same alm
     explicitly (same fold_in scheme) and synthesizing."""
@@ -193,6 +194,7 @@ def test_streamed_correlated_synthesis_matches_explicit():
     assert np.abs(out - ref).max() < 1e-5
 
 
+@pytest.mark.slow
 def test_split_ring_mode_matches_bluestein():
     """Equatorial fast path must equal the all-Bluestein ring stage."""
     from cora_tpu.healpix.sht import SHT, _synthesis_grid, _grid_to_rings
@@ -227,6 +229,7 @@ def test_split_ring_mode_matches_bluestein():
     assert np.abs(gc - gs).max() < 1e-12 * np.abs(gs).max()
 
 
+@pytest.mark.slow
 def test_analysis_cg_beats_jacobi():
     """CG analysis converges at least as fast as Jacobi refinement."""
     nside, F = 16, 1
@@ -248,6 +251,7 @@ def test_analysis_cg_beats_jacobi():
     assert err_c / np.linalg.norm(alm[1:]) < 2e-3
 
 
+@pytest.mark.slow
 def test_scan_streamed_correlated_matches_explicit():
     """The Λ-free (scan-mode) streamed draw+synthesis must equal drawing
     the same alm explicitly (consecutive-ℓ fold_in scheme) and
@@ -300,6 +304,7 @@ def test_scan_streamed_correlated_matches_explicit():
     assert np.abs(out - ref).max() < 1e-5
 
 
+@pytest.mark.slow
 def test_checkpointed_scan_f32_accuracy():
     """Scaled + checkpointed f32 scan recurrence vs exact f64 scan."""
     from cora_tpu.healpix.sht import SHT, _synthesis_grid
@@ -328,6 +333,7 @@ def test_checkpointed_scan_f32_accuracy():
     assert rms < 1e-5
 
 
+@pytest.mark.slow
 def test_scan_streamed_nondivisible_l_chunk():
     """Scan-streamed correlated synthesis with (lmax+1) % l_chunk != 0.
 
@@ -414,6 +420,7 @@ def test_mkfullsky_streamed_nondivisible_l_chunk_statistics():
     assert 0.5 * var_exp < var < 1.5 * var_exp
 
 
+@pytest.mark.slow
 def test_checkpointed_scan_banded_ckpt_every():
     """ckpt_every > 1 (banded) checkpoint re-seeding in the DENSE scan
     paths, incl. a band count that does not divide the chunk count.
@@ -457,6 +464,7 @@ def test_checkpointed_scan_banded_ckpt_every():
     assert np.sqrt((np.abs(a32 - a64) ** 2).mean()) / scale < 5e-5
 
 
+@pytest.mark.slow
 def test_analysis_cg_scan_mode_full_lmax():
     """CG analysis in scan Legendre mode, full lmax = 3*nside - 1.
 

@@ -90,6 +90,7 @@ def test_mkfullsky_cross_correlation():
     assert np.allclose(maps[0], maps[2], atol=1e-8 + 1e-5 * maps[0].std())
 
 
+@pytest.mark.slow
 def test_mkconstrained():
     """Constrained realisations must reproduce constraint maps exactly."""
     nside, lmax, nz = 8, 23, 5
@@ -113,6 +114,7 @@ def test_mkconstrained():
     assert num < 1e-8 * np.abs(expect).max()
 
 
+@pytest.mark.slow
 def test_clfast_matches_host():
     """Device C_l fast path must match the host aps evaluation (no window)."""
     from cora_tpu.signal.corr21cm import Corr21cm
@@ -162,6 +164,7 @@ def test_mkfullsky_streamed_consistency():
     assert np.allclose(a, b, atol=1e-5 * np.abs(a).max())
 
 
+@pytest.mark.slow
 def test_clfast_window_accuracy():
     """Channel-integrated C_l: exact-window clfast vs channel integration.
 

@@ -49,6 +49,7 @@ def test_synthesis_vs_closed_form(op16, m):
     assert np.abs(P - expect).max() / np.abs(expect).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_eb_roundtrip(op16):
     rng = np.random.RandomState(9)
     L = 21
@@ -84,6 +85,7 @@ def test_pure_e_has_no_b(op16):
     assert np.abs(np.asarray(B2)).max() < 1e-7 * np.abs(E).max()
 
 
+@pytest.mark.slow
 def test_spin_cached_mode_matches_scan():
     """Cached f32 spin-Λ tables must reproduce the exact f64 scan mode."""
     from cora_tpu.healpix.spin import SpinSHT
@@ -141,6 +143,7 @@ def test_spin_synthesis_grid_matches_pixel():
     assert np.abs(Ug[r_of, j_of] - U).max() < 1e-10 * np.abs(Q).max()
 
 
+@pytest.mark.slow
 def test_spin_grid_analysis_roundtrip():
     """Grid-layout spin analysis recovers E/B in the quadrature band."""
     from cora_tpu.healpix.spin import SpinSHT
