@@ -18,6 +18,14 @@ r/m_tile=128, l_tile=64 — Mosaic needs the batch dim leading and a raised
 VMEM budget for the double-buffered Λ tiles).  Unlike the einsum path it
 takes the Λ table as one dense [L, nh, L] tensor (no ragged
 m-truncation), trading memory for a single static pipeline.
+
+MEASURED VERDICT (round 2, real v5e — tools/pallas_vs_einsum.py, numbers
+in BASELINE.md): at matched dense semantics (nside=256, f32 HIGHEST) the
+XLA einsum runs 6.04 ms/iter vs 10.69 ms for this kernel — XLA's own
+tiling of `lrm,flm->frm` beats the hand pipeline by 1.77×.  The
+production SHT therefore keeps the parity-packed ragged einsum path
+(chosen for memory: dense Λ at nside=512 is ~18 GiB); this kernel is
+retained as a documented, tested experiment.
 """
 
 from __future__ import annotations
