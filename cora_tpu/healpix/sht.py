@@ -66,6 +66,15 @@ def _legendre_contract_cached(op, t, alm):
     L = op.lmax + 1
     nh = op.nhalf
 
+    # complex alm: run the contraction on split re/im f32 planes batched
+    # on a leading axis — the einsums then have purely REAL operands (2
+    # real matmuls each instead of the 3 the TPU compiler emits for a
+    # complex×real dot; measured 1.26× at the production shape,
+    # tools/complex_vs_split.py) — and join back to complex at the end
+    is_cplx = jnp.iscomplexobj(alm)
+    if is_cplx:
+        alm = jnp.stack([alm.real, alm.imag], axis=-3)
+
     # pack alm rows by ell parity: [evens; odds] — one cheap reorder
     ne = (L + 1) // 2
     alm_p = jnp.concatenate([alm[..., 0::2, :], alm[..., 1::2, :]], axis=-2)
@@ -93,6 +102,9 @@ def _legendre_contract_cached(op, t, alm):
 
     Gn = Ge + Go
     Gs = Ge - Go
+    if is_cplx:
+        Gn = _join_planes(Gn)
+        Gs = _join_planes(Gs)
     north = jnp.arange(op.nring) < nh
     return jnp.where(
         north[:, None], Gn[..., t["north_idx"], :], Gs[..., t["mirror"], :]
@@ -279,9 +291,6 @@ def synthesis_grid_correlated(op, t, roots, key, z_lo, nz_chunk):
     z_lo : traced int — first frequency of the chunk.
     nz_chunk : static int — chunk width.
     """
-    from jax import lax
-
-    L = op.lmax + 1
     nz = roots.shape[-1]
 
     if "lam" not in t:  # scan mode: Λ-free streamed path
@@ -292,6 +301,37 @@ def synthesis_grid_correlated(op, t, roots, key, z_lo, nz_chunk):
     # parity-packed ell order (matches the Λ chunk layout)
     roots_p = jnp.concatenate([roots[0::2], roots[1::2]], axis=0)
 
+    alm_blk = _make_split_draw_blk(roots_p, key, z_lo, nz_chunk, nz)
+
+    with _stage("legendre"):
+        Ge, Go = _legendre_contract_streamed(
+            op, t, alm_blk, (nz_chunk, 2), jnp.float32, expand=False
+        )
+    G = _expand_rings(op, t, _join_planes(Ge), _join_planes(Go))
+    return _rings_to_grid(op, t, G)
+
+
+def _join_planes(x):
+    """[..., 2, r, m] re/im f32 planes → complex64 [..., r, m]."""
+    return jax.lax.complex(x[..., 0, :, :], x[..., 1, :, :])
+
+
+def _make_split_draw_blk(roots_p, key, z_lo, nz_chunk, nz):
+    """Correlated-draw block producer in split re/im f32 planes.
+
+    Returns ``alm_blk(c, off, nrows, mw) -> [nz_chunk, 2, nrows, mw]``
+    (plane axis batched next to frequency).  Both the draw einsum and the
+    downstream Legendre einsums then run on purely REAL operands — 2 real
+    matmuls per contraction instead of the 3 the TPU compiler emits for a
+    complex×real dot (measured 1.26× on the production shape,
+    tools/complex_vs_split.py) — and the covariance roots are streamed as
+    f32, never upcast to complex64.
+
+    The ξ values are drawn with the same keys/shapes as the former complex
+    path, so realisations are stream-identical.
+    """
+    from jax import lax
+
     def alm_blk(c, off, nrows, mw):
         with _stage("draw"):
             # only m < mw feeds this chunk's λ (λ ≡ 0 for m > l): drawing
@@ -300,51 +340,37 @@ def synthesis_grid_correlated(op, t, roots, key, z_lo, nz_chunk):
             kc = jax.random.fold_in(key, c)
             kr, ki = jax.random.split(kc)
             shape = (nrows, nz, mw)
-            xi = (
-                jax.random.normal(kr, shape, jnp.float32)
-                + 1j * jax.random.normal(ki, shape, jnp.float32)
-            ) * jnp.asarray(0.70710678, jnp.float32)
+            half = jnp.asarray(0.70710678, jnp.float32)
+            xi = jnp.stack(
+                [
+                    jax.random.normal(kr, shape, jnp.float32),
+                    jax.random.normal(ki, shape, jnp.float32),
+                ],
+                axis=2,
+            ) * half  # [nrows, nz, 2, mw]
             rblk = lax.dynamic_slice(
                 roots_p, (off, z_lo, 0), (nrows, nz_chunk, nz)
-            ).astype(jnp.complex64)
-            a = jnp.einsum("lzy,lym->lzm", rblk, xi)
-            return jnp.moveaxis(a, 0, 1)  # [nz_chunk, nrows, mw]
+            )
+            a = jnp.einsum("lzy,lypm->lzpm", rblk, xi)
+            return jnp.moveaxis(a, 0, 2)  # [nz_chunk, 2, nrows, mw]
 
-    with _stage("legendre"):
-        G = _legendre_contract_streamed(
-            op, t, alm_blk, (nz_chunk,), jnp.complex64
-        )
-    return _rings_to_grid(op, t, G)
+    return alm_blk
 
 
 def _correlated_GeGo(op, t, roots_p, key, z_lo, nz_chunk):
     """Even/odd ring accumulators for one frequency chunk of the
-    correlated draw (parity-packed roots; see synthesis_grid_correlated)."""
-    from jax import lax
+    correlated draw (parity-packed roots; see synthesis_grid_correlated).
 
-    L = op.lmax + 1
+    Runs in split re/im f32 planes end-to-end (see _make_split_draw_blk);
+    planes join to complex only here, at the ring-stage boundary."""
     nz = roots_p.shape[-1]
-
-    def alm_blk(c, off, nrows, mw):
-        with _stage("draw"):
-            # triangle draw: see synthesis_grid_correlated.alm_blk
-            kc = jax.random.fold_in(key, c)
-            kr, ki = jax.random.split(kc)
-            shape = (nrows, nz, mw)
-            xi = (
-                jax.random.normal(kr, shape, jnp.float32)
-                + 1j * jax.random.normal(ki, shape, jnp.float32)
-            ) * jnp.asarray(0.70710678, jnp.float32)
-            rblk = lax.dynamic_slice(
-                roots_p, (off, z_lo, 0), (nrows, nz_chunk, nz)
-            ).astype(jnp.complex64)
-            a = jnp.einsum("lzy,lym->lzm", rblk, xi)
-            return jnp.moveaxis(a, 0, 1)
+    alm_blk = _make_split_draw_blk(roots_p, key, z_lo, nz_chunk, nz)
 
     with _stage("legendre"):
-        return _legendre_contract_streamed(
-            op, t, alm_blk, (nz_chunk,), jnp.complex64, expand=False
+        Ge, Go = _legendre_contract_streamed(
+            op, t, alm_blk, (nz_chunk, 2), jnp.float32, expand=False
         )
+    return _join_planes(Ge), _join_planes(Go)
 
 
 def _correlated_GeGo_scan(op, t, roots, key, z_lo, nz_chunk):
@@ -354,8 +380,6 @@ def _correlated_GeGo_scan(op, t, roots, key, z_lo, nz_chunk):
     consecutive-ℓ chunk's white noise comes from fold_in(key, c), so all
     frequency chunks of one cube share a single realisation.
     """
-    from jax import lax
-
     nz = roots.shape[-1]
     # zero-pad roots to a whole number of ℓ-chunks: the streamed band loop
     # slices every chunk at full l_chunk width, and a clamped dynamic_slice
@@ -369,25 +393,13 @@ def _correlated_GeGo_scan(op, t, roots, key, z_lo, nz_chunk):
             roots, [(0, Lp - roots.shape[0])] + [(0, 0)] * (roots.ndim - 1)
         )
 
-    def alm_blk(c, l0, nrows, mw):
-        with _stage("draw"):
-            kc = jax.random.fold_in(key, c)
-            kr, ki = jax.random.split(kc)
-            shape = (nrows, nz, mw)
-            xi = (
-                jax.random.normal(kr, shape, jnp.float32)
-                + 1j * jax.random.normal(ki, shape, jnp.float32)
-            ) * jnp.asarray(0.70710678, jnp.float32)
-            rblk = lax.dynamic_slice(
-                roots, (l0, z_lo, 0), (nrows, nz_chunk, nz)
-            ).astype(jnp.complex64)
-            a = jnp.einsum("lzy,lym->lzm", rblk, xi)
-            return jnp.moveaxis(a, 0, 1)
+    alm_blk = _make_split_draw_blk(roots, key, z_lo, nz_chunk, nz)
 
     with _stage("legendre"):
-        return _legendre_contract_scan_streamed(
-            op, t, alm_blk, (nz_chunk,), jnp.complex64, expand=False
+        Ge, Go = _legendre_contract_scan_streamed(
+            op, t, alm_blk, (nz_chunk, 2), jnp.float32, expand=False
         )
+    return _join_planes(Ge), _join_planes(Go)
 
 
 def synthesis_scan_correlated(op, t, roots, key, nz_leg, nz_ring, consume,
@@ -447,6 +459,11 @@ def _legendre_project_cached(op, t, G):
     nh = op.nhalf
     ne = (L + 1) // 2
 
+    # split re/im planes → real-only einsums (see _legendre_contract_cached)
+    is_cplx = jnp.iscomplexobj(G)
+    if is_cplx:
+        G = jnp.stack([G.real, G.imag], axis=-3)
+
     Gn = G[..., :nh, :]
     Gs = G[..., nh:, :]
     south_idx = t["south_idx"]
@@ -475,7 +492,10 @@ def _legendre_project_cached(op, t, G):
         odds = jnp.pad(odds, [(0, 0)] * (odds.ndim - 2) + [(0, 1), (0, 0)])
     alm = jnp.stack([evens, odds], axis=-2)  # [..., ne, 2, M]
     alm = alm.reshape(alm.shape[:-3] + (2 * ne, L))
-    return alm[..., :L, :]
+    alm = alm[..., :L, :]
+    if is_cplx:
+        alm = _join_planes(alm)
+    return alm
 
 
 def _lam_scale_params(dtype):
@@ -555,6 +575,12 @@ def _legendre_contract_scan(op, t, alm):
     at each ℓ-chunk boundary (t["lam_ck"]), bounding f32 error growth."""
     L = op.lmax + 1
     nh = op.nhalf
+
+    # split re/im planes → real-only einsums (see _legendre_contract_cached)
+    is_cplx = jnp.iscomplexobj(alm)
+    if is_cplx:
+        alm = jnp.stack([alm.real, alm.imag], axis=-3)
+
     cdtype = alm.dtype
     z = t["z_half"]
 
@@ -638,6 +664,9 @@ def _legendre_contract_scan(op, t, alm):
 
     Gn = Ge + Go
     Gs = Ge - Go
+    if is_cplx:
+        Gn = _join_planes(Gn)
+        Gs = _join_planes(Gs)
     north = jnp.arange(op.nring) < nh
     return jnp.where(
         north[:, None], Gn[..., t["north_idx"], :], Gs[..., t["mirror"], :]
@@ -648,6 +677,12 @@ def _legendre_project_scan(op, t, G):
     """Adjoint of the scan-mode contraction."""
     L = op.lmax + 1
     nh = op.nhalf
+
+    # split re/im planes → real-only einsums (see _legendre_contract_cached)
+    is_cplx = jnp.iscomplexobj(G)
+    if is_cplx:
+        G = jnp.stack([G.real, G.imag], axis=-3)
+
     cdtype = G.dtype
     z = t["z_half"]
 
@@ -715,7 +750,10 @@ def _legendre_project_scan(op, t, G):
         )[:nchunk]
     alm = jnp.moveaxis(alm_chunks, 0, -3)
     alm = alm.reshape(alm.shape[:-3] + (Lp, L))[..., :L, :]
-    return alm.astype(cdtype)
+    alm = alm.astype(cdtype)
+    if is_cplx:
+        alm = _join_planes(alm)
+    return alm
 
 
 def _fft_last(op, t, x, inverse=False):
