@@ -48,6 +48,17 @@ def _next_fft_size(n):
     return s
 
 
+def _next_conv_size(n):
+    """Smallest 3-smooth size (2^a or 3·2^a) ≥ n.
+
+    The four-step matmul DFT works for any composite length (the stage
+    DFTs are dense matmuls), so banded cap convolutions also use 3·2^a
+    sizes — e.g. 3072 instead of 4096 for the 1536-point band."""
+    p2 = _next_fft_size(n)
+    p3 = 3 * _next_fft_size(max(1, -(-n // 3)))
+    return min(p2, p3) if p3 >= n else p2
+
+
 # ===========================================================================
 # Jitted worker functions.  `op` is a static argument (hashable SHT config);
 # `t` is the pytree of device tables.
@@ -897,6 +908,95 @@ def _cap_real_synth(op, t, Gcap):
     return 2.0 * S.real - Gcap[..., 0:1].real * valid
 
 
+def _fftB(op, t, x, n_b, inverse=False, in_len=None, out_len=None):
+    """(I)FFT at a banded-cap conv size n_b (matmul form only)."""
+    n1, n2 = op._cap_band_ffts[n_b]["n1n2"]
+    key = "ifftB" if inverse else "fftB"
+    tab = {
+        "W1": t[f"{key}{n_b}W1"],
+        "T": t[f"{key}{n_b}T"],
+        "W2": t[f"{key}{n_b}W2"],
+    }
+    y = fftmm._apply(x, tab, n1, n2, op.precision,
+                     in_len=in_len, out_len=out_len)
+    return y / n_b if inverse else y
+
+
+def _cap_band_conv(op, t, Gcap, b, real_out):
+    """One cap band's Bluestein synthesis (see SHT.__init__ cap banding).
+
+    Returns the band's ring rows (north block then south block, matching
+    the Gcap slice order) at width q_b; ``real_out`` selects the real-field
+    assembly (scalar maps) vs the raw complex sum (spin maps)."""
+    i0, i1, M, q, n_b = op._cap_bands[b]
+    lo = op._eq_lo
+    cdtype = Gcap.dtype
+    gn = Gcap[..., i0:i1, :M]
+    gs = Gcap[..., 2 * lo - i1: 2 * lo - i0, :M]
+    g = jnp.concatenate([gn, gs], axis=-2)
+    a = g * t[f"bl_A_cb{b}"].astype(cdtype)
+    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, n_b - a.shape[-1])])
+    conv = _fftB(
+        op, t,
+        _fftB(op, t, a, n_b, in_len=M) * t[f"bl_Bf_cb{b}"].astype(cdtype),
+        n_b, inverse=True, out_len=q,
+    )
+    S = conv[..., :q] * t[f"bl_C_cb{b}"].astype(cdtype)
+    if not real_out:
+        return S
+    valid = (t[f"bl_C_cb{b}"] != 0.0).astype(S.real.dtype)
+    return 2.0 * S.real - g[..., 0:1].real * valid
+
+
+def _cap_synth_banded(op, t, Gcap, real_out, out_w):
+    """Banded cap synthesis: per-band Bluestein at the band's conv size,
+    reassembled into Gcap row order ([north asc; south desc]) at width
+    ``out_w``."""
+    north, south = [], []
+    for b, (i0, i1, M, q, n_b) in enumerate(op._cap_bands):
+        f = _cap_band_conv(op, t, Gcap, b, real_out)
+        if out_w > q:
+            f = jnp.pad(f, [(0, 0)] * (f.ndim - 1) + [(0, out_w - q)])
+        rows_n = i1 - i0
+        north.append(f[..., :rows_n, :])
+        south.append(f[..., rows_n:, :])
+    return jnp.concatenate(north + south[::-1], axis=-2)
+
+
+def _cap_real_synth_banded(op, t, Gcap):
+    return _cap_synth_banded(
+        op, t, Gcap, True, t["bl_C_cap"].shape[-1]
+    )
+
+
+def _cap_adjoint_banded(op, t, fcap, cdtype):
+    """Banded adjoint (analysis direction): dense cap ring rows →
+    G[..., r, m] with m truncated to each band's Legendre support (the
+    discarded columns only ever multiply λ ≈ 0 in the projection)."""
+    L = op.lmax + 1
+    lo = op._eq_lo
+    north, south = [], []
+    for b, (i0, i1, M, q, n_b) in enumerate(op._cap_bands):
+        fn_ = fcap[..., i0:i1, :q]
+        fs = fcap[..., 2 * lo - i1: 2 * lo - i0, :q]
+        f = jnp.concatenate([fn_, fs], axis=-2).astype(cdtype)
+        a = f * jnp.conj(t[f"bl_C_cb{b}"]).astype(cdtype)
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, n_b - a.shape[-1])])
+        conv = _fftB(
+            op, t,
+            _fftB(op, t, a, n_b, in_len=q)
+            * jnp.conj(t[f"bl_Bf_cb{b}"]).astype(cdtype),
+            n_b, inverse=True, out_len=M,
+        )
+        G = conv[..., :M] * jnp.conj(t[f"bl_A_cb{b}"]).astype(cdtype)
+        if L > M:
+            G = jnp.pad(G, [(0, 0)] * (G.ndim - 1) + [(0, L - M)])
+        rows_n = i1 - i0
+        north.append(G[..., :rows_n, :])
+        south.append(G[..., rows_n:, :])
+    return jnp.concatenate(north + south[::-1], axis=-2)
+
+
 def _cap_sub_batched(op, fn, t, Gcap):
     """Run a per-row cap transform in frequency sub-batches of op.cap_sub.
 
@@ -978,7 +1078,9 @@ def _rings_to_grid_split(op, t, G):
     with _stage("ring_cap"):
         Gcap = jnp.concatenate([G[..., :lo, :], G[..., hi:, :]], axis=-2)
         nq_cap = t["bl_C_cap"].shape[-1]
-        fcap = _cap_sub_batched(op, _cap_real_synth, t, Gcap)
+        cap_fn = (_cap_real_synth_banded if op._cap_bands is not None
+                  else _cap_real_synth)
+        fcap = _cap_sub_batched(op, cap_fn, t, Gcap)
         if nq_max > nq_cap:
             fcap = jnp.pad(
                 fcap, [(0, 0)] * (fcap.ndim - 1) + [(0, nq_max - nq_cap)]
@@ -1017,16 +1119,20 @@ def _rings_to_grid_complex(op, t, G):
 
         Gcap = jnp.concatenate([G[..., :lo, :], G[..., hi:, :]], axis=-2)
         nq_cap = t["bl_C_cap"].shape[-1]
-        a = Gcap * t["bl_A_cap"].astype(cdtype)
-        L_in = a.shape[-1]
-        pad = op.nfft2 - a.shape[-1]
-        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
-        conv = _fft2_last(
-            op, t,
-            _fft2_last(op, t, a, in_len=L_in) * t["bl_Bf_cap"].astype(cdtype),
-            inverse=True, out_len=nq_cap,
-        )
-        Scap = conv[..., :nq_cap] * t["bl_C_cap"].astype(cdtype)
+        if op._cap_bands is not None:
+            Scap = _cap_synth_banded(op, t, Gcap, False, nq_cap)
+        else:
+            a = Gcap * t["bl_A_cap"].astype(cdtype)
+            L_in = a.shape[-1]
+            pad = op.nfft2 - a.shape[-1]
+            a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+            conv = _fft2_last(
+                op, t,
+                _fft2_last(op, t, a, in_len=L_in)
+                * t["bl_Bf_cap"].astype(cdtype),
+                inverse=True, out_len=nq_cap,
+            )
+            Scap = conv[..., :nq_cap] * t["bl_C_cap"].astype(cdtype)
         if nq_max > nq_cap:
             Scap = jnp.pad(
                 Scap, [(0, 0)] * (Scap.ndim - 1) + [(0, nq_max - nq_cap)]
@@ -1066,6 +1172,11 @@ def _grid_to_rings_split(op, t, fgrid, cdtype):
     fcap = jnp.concatenate(
         [fgrid[..., :lo, :], fgrid[..., hi:, :]], axis=-2
     )[..., :nq_cap]
+    if op._cap_bands is not None:
+        Gcap = _cap_adjoint_banded(op, t, fcap, cdtype)
+        return jnp.concatenate(
+            [Gcap[..., :lo, :], Geq, Gcap[..., lo:, :]], axis=-2
+        )
     a = fcap.astype(cdtype) * jnp.conj(t["bl_C_cap"]).astype(cdtype)
     nq_in = a.shape[-1]
     pad = op.nfft2 - a.shape[-1]
@@ -1249,6 +1360,7 @@ class SHT:
         scan_ckpt: bool = False,
         ckpt_cache: str | None = None,
         ckpt_every: int = 1,
+        cap_bands: int | None = None,
     ):
         self.nside = int(nside)
         self.lmax = int(lmax)
@@ -1421,6 +1533,82 @@ class SHT:
         self._bl_Bf_cap = np.concatenate(
             [self._bl_Bf[:lo], self._bl_Bf[hi:]], 0
         )
+
+        # --- banded cap convolution (ring_mode="split"): partition the cap
+        # rings by length and run each band's Bluestein at its own (smaller)
+        # conv size, with the m axis truncated to the band's Legendre
+        # support — λ_ℓm(θ) decays super-exponentially for
+        # m > ℓ·sinθ + O((ℓ·sinθ)^{1/3}), so G[r, m] from the Legendre
+        # stage is numerically zero there (bound verified against the
+        # production Λ tables at nside=512: ≥ 46 columns of slack at
+        # ε=1e-8; tools/ calibration in round 2).  Cuts the cap FFT work
+        # ~2× at nside=512 (the pole-most half of the rows runs at ≤ 1/4
+        # the conv size).
+        self._cap_bands = None
+        if cap_bands is None:
+            cap_bands = 5 if lo >= 64 else 0
+        if cap_bands and lo >= 16 and self._eq_lo > 0:
+            edges = sorted(
+                {int(round(lo * f)) for f in
+                 [i / cap_bands for i in range(1, cap_bands + 1)]} | {lo}
+            )
+            edges = [0] + [e for e in edges if e > 0]
+            bands = []
+            for b in range(len(edges) - 1):
+                i0, i1 = edges[b], edges[b + 1]
+                q_b = int(self._nq[i1 - 1])  # largest ring in band
+                sth = float(self._sth_half[i1 - 1])
+                x = lmax * sth
+                M_b = int(min(L, np.ceil(x + 12.0 * max(x, 1.0) ** (1 / 3.0)
+                                         + 40.0)))
+                D_b = max(M_b, q_b) - 1
+                n_b = _next_conv_size(2 * D_b + 1)
+                bands.append(dict(i0=i0, i1=i1, M=M_b, q=q_b, n=n_b))
+            # merge adjacent bands that landed on the same conv size (no
+            # gain from splitting them; fewer, larger matmuls win)
+            merged = [bands[0]]
+            for bd in bands[1:]:
+                if bd["n"] == merged[-1]["n"] and bd["M"] == merged[-1]["M"]:
+                    merged[-1] = dict(
+                        i0=merged[-1]["i0"], i1=bd["i1"],
+                        M=bd["M"], q=bd["q"], n=bd["n"],
+                    )
+                else:
+                    merged.append(bd)
+            # host tables per band: chirp rows are slices of the full-ring
+            # tables; the conv kernel is rebuilt at the band size
+            self._cap_band_tabs = []
+            self._cap_band_ffts = {}
+            for bd in merged:
+                i0, i1, M_b, q_b, n_b = (
+                    bd["i0"], bd["i1"], bd["M"], bd["q"], bd["n"]
+                )
+                rn = np.arange(i0, i1)  # north ring rows (global = local)
+                rs = np.arange(nring - i1, nring - i0)  # south rings asc.
+                rows = np.concatenate([rn, rs])
+                A_b = self._bl_A[rows][:, :M_b]
+                C_b = self._bl_C[rows][:, :q_b]
+                D_b = max(M_b, q_b) - 1
+                c2 = np.zeros((rows.size, n_b), dtype=np.complex128)
+                for k, r in enumerate(rows):
+                    nr = int(self._nq[r])
+                    dpos = np.arange(D_b + 1)
+                    w = np.exp(
+                        -1j * np.pi
+                        * np.mod(dpos.astype(np.int64) ** 2, 2 * nr) / nr
+                    )
+                    c2[k, : D_b + 1] = w
+                    c2[k, n_b - D_b:] += w[1:][::-1]
+                Bf_b = np.fft.fft(c2, axis=-1)
+                self._cap_band_tabs.append((A_b, C_b, Bf_b))
+                if n_b not in self._cap_band_ffts:
+                    self._cap_band_ffts[n_b] = fftmm.dft_tables(
+                        n_b, dtype=np.complex128
+                    )
+            self._cap_bands = tuple(
+                (bd["i0"], bd["i1"], bd["M"], bd["q"], bd["n"])
+                for bd in merged
+            )
 
         r_of_pix = np.repeat(np.arange(nring), self._nq)
         self._r_of_pix = r_of_pix.astype(np.int32)
@@ -1687,6 +1875,17 @@ class SHT:
             t["bl_A_cap"] = put(self._bl_A_cap.astype(cdt))
             t["bl_C_cap"] = put(self._bl_C_cap.astype(cdt))
             t["bl_Bf_cap"] = put(self._bl_Bf_cap.astype(cdt))
+            if self._cap_bands is not None:
+                for b, (A_b, C_b, Bf_b) in enumerate(self._cap_band_tabs):
+                    t[f"bl_A_cb{b}"] = put(A_b.astype(cdt))
+                    t[f"bl_C_cb{b}"] = put(C_b.astype(cdt))
+                    t[f"bl_Bf_cb{b}"] = put(Bf_b.astype(cdt))
+                for n_b, tabs_b in self._cap_band_ffts.items():
+                    for key, tab in [("fftB", "fwd"), ("ifftB", "inv")]:
+                        for nm in ("W1", "T", "W2"):
+                            t[f"{key}{n_b}{nm}"] = put(
+                                tabs_b[tab][nm].astype(cdt)
+                            )
             for key, tab in [("fftW", "fwd"), ("ifftW", "inv")]:
                 for nm in ("W1", "T", "W2"):
                     t[key + nm] = put(self._fftmmW_tabs[tab][nm].astype(cdt))

@@ -25,18 +25,28 @@ import jax.numpy as jnp
 
 
 def _split(n):
-    """Factor n = n1 * n2 with n1, n2 as close as possible (n power of 2).
+    """Factor n = n1 * n2 with n1 + n2 minimal (n1, n2 are dense DFT
+    matrix sizes, so any factorisation works — not just powers of two).
 
     The balanced split minimises total MACs (2·(n1+n2) per sample); a
     128-pinned n1 was measured SLOWER on v5e (the huge row batch already
     fills the MXU, so the +25% MACs of an unbalanced split are pure loss).
+    Smooth (2- or 3-smooth) n gives near-square splits; the SHT only
+    requests such sizes.
     """
-    assert n & (n - 1) == 0, "fftmm requires power-of-two lengths"
-    n1 = 1
-    while n1 * n1 < n:
-        n1 *= 2
+    best = None
+    d = 1
+    while d * d <= n:
+        if n % d == 0:
+            best = d
+        d += 1
+    assert best is not None and best > 1 or n <= 3, (
+        f"fftmm: n={n} has no nontrivial balanced factorisation"
+    )
+    n1 = max(best, 1)
     n2 = n // n1
-    return n1, n2
+    # keep n1 >= n2 (stage-1 contraction over the larger factor)
+    return (n2, n1) if n1 < n2 else (n1, n2)
 
 
 def dft_tables(n, dtype=np.complex64):

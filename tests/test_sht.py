@@ -488,3 +488,59 @@ def test_analysis_cg_scan_mode_full_lmax():
     a150 = np.asarray(op.analysis_grid(g, iter=150, method="cg"))
     rel150 = np.linalg.norm(a150 - alm) / np.linalg.norm(alm)
     assert rel150 < 1e-10
+
+
+def test_banded_cap_conv_matches_dense():
+    """Banded cap Bluestein (per-band conv sizes + m-truncation) must match
+    the single-size cap convolution for synthesis, complex synthesis and
+    analysis.  m-truncation only drops columns where lambda_lm ~ 0, so the
+    agreement bound is the truncation epsilon, not machine precision."""
+    from cora_tpu.healpix.sht import (
+        SHT,
+        _analysis_once_grid,
+        _legendre_contract_cached,
+        _rings_to_grid_complex,
+        _synthesis_grid,
+    )
+
+    nside = 32
+    lmax = 3 * nside - 1
+    L = lmax + 1
+    rng = np.random.RandomState(3)
+    alm = (rng.randn(2, L, L) + 1j * rng.randn(2, L, L)) * (
+        np.arange(L)[None, None, :] <= np.arange(L)[None, :, None]
+    )
+    op_d = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm",
+               ring_mode="split", cap_bands=0)
+    op_b = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm",
+               ring_mode="split", cap_bands=4)
+    assert op_b._cap_bands is not None and len(op_b._cap_bands) >= 2
+    # at least one band must actually truncate m for the test to bite
+    assert any(M < L for (_, _, M, _, _) in op_b._cap_bands)
+    td, tb = op_d.tables(True), op_b.tables(True)
+
+    gd = np.asarray(_synthesis_grid(op_d, td, jnp.asarray(alm)))
+    gb = np.asarray(_synthesis_grid(op_b, tb, jnp.asarray(alm)))
+    assert np.abs(gb - gd).max() < 1e-6 * np.abs(gd).max()
+
+    # complex ring evaluation (the spin-weighted building block)
+    G = _legendre_contract_cached(op_d, td, jnp.asarray(alm))
+    Sd = np.asarray(_rings_to_grid_complex(op_d, td, G))
+    Sb = np.asarray(_rings_to_grid_complex(op_b, tb, G))
+    assert np.abs(Sb - Sd).max() < 1e-6 * np.abs(Sd).max()
+
+    # analysis end-to-end (banded adjoint feeds the Legendre projection)
+    ad = np.asarray(
+        _analysis_once_grid(op_d, td, jnp.asarray(gd), jnp.complex128)
+    )
+    ab = np.asarray(
+        _analysis_once_grid(op_b, tb, jnp.asarray(gd), jnp.complex128)
+    )
+    assert np.abs(ab - ad).max() < 1e-6 * np.abs(ad).max()
+
+    # cap-conv sub-batching composes with banding
+    op_s = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm",
+               ring_mode="split", cap_bands=4, cap_sub=1)
+    ts = op_s.tables(True)
+    gs = np.asarray(_synthesis_grid(op_s, ts, jnp.asarray(alm)))
+    assert np.abs(gs - gb).max() < 1e-12 * np.abs(gb).max()
