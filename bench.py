@@ -82,6 +82,11 @@ def main():
     p.add_argument("--ckevery", type=int, default=1,
                    help="scan mode: re-seed every k-th ell chunk "
                         "(table 1/k the size)")
+    p.add_argument("--prec", default="highest",
+                   choices=["default", "high", "highest"],
+                   help="matmul precision for the transform contractions "
+                        "(high = 3-pass bf16, ~2x MXU throughput; accuracy "
+                        "ladder in tools/tpu_prec.py)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -155,7 +160,7 @@ def main():
 
     t0 = time.time()
     op = SHT(nside, lmax, legendre_mode=args.legmode, fft_mode="mm",
-             l_chunk=args.lchunk, cap_sub=args.capsub,
+             l_chunk=args.lchunk, cap_sub=args.capsub, precision=args.prec,
              scan_ckpt=args.legmode == "scan", ckpt_every=args.ckevery,
              ckpt_cache=os.path.join(
                  cache_dir, f"ck_{nside}_{args.lchunk}_{args.ckevery}.npz"),

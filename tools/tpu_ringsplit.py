@@ -104,6 +104,13 @@ def cap_only(G, t):
 
 
 @loop
+def cap_banded(G, t):
+    Gcap = jnp.concatenate([G[..., :lo, :], G[..., hi:, :]], axis=-2)
+    fcap = shtm._cap_sub_batched(op, shtm._cap_real_synth_banded, t, Gcap)
+    return jnp.sum(jnp.abs(fcap))
+
+
+@loop
 def full_ring(G, t):
     g = shtm._rings_to_grid(op, t, G)
     return jnp.sum(jnp.abs(g))
@@ -112,5 +119,7 @@ def full_ring(G, t):
 key = jax.random.key(0, impl="rbg")
 timeit("rng-only (baseline)", rng_only, key, tabs)
 timeit("eq half", eq_only, key, tabs)
-timeit("cap half", cap_only, key, tabs)
+timeit("cap half (dense)", cap_only, key, tabs)
+if op._cap_bands is not None:
+    timeit("cap half (banded)", cap_banded, key, tabs)
 timeit("full ring block", full_ring, key, tabs)
