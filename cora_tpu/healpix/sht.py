@@ -1220,8 +1220,8 @@ def _analysis_grid(op, t, fgrid, iter):
     return alm
 
 
-def _analysis_cg_grid(op, t, fgrid, niter):
-    """Conjugate-gradient map2alm (normal equations) on the ring grid.
+def _analysis_cg_impl(op, t, f, niter, synth_fn, proj_fn):
+    """Conjugate-gradient map2alm (normal equations); layout-agnostic core.
 
     Solves (AᵀWA) x = AᵀW m with A = synthesis — converges substantially
     faster per iteration than the Jacobi refinement healpy offers (each CG
@@ -1236,10 +1236,14 @@ def _analysis_cg_grid(op, t, fgrid, niter):
     whose custom_linear_solve machinery fails to trace the lax.scan-based
     Legendre operator on jax 0.8) — one SHT pair per iteration, same cost
     as a Jacobi step.
+
+    ``synth_fn(op, t, alm)`` / ``proj_fn(op, t, f, cdtype)`` select the
+    layout: ring grid (_synthesis_grid/_analysis_once_grid) or HEALPix
+    pixels (_synthesis/_analysis_once).
     """
     from jax import lax
 
-    cdtype = jnp.complex128 if fgrid.dtype == jnp.float64 else jnp.complex64
+    cdtype = jnp.complex128 if f.dtype == jnp.float64 else jnp.complex64
     L = op.lmax + 1
     s = jnp.where(jnp.arange(L)[None, :] > 0, np.sqrt(2.0), 1.0).astype(
         jnp.float32 if cdtype == jnp.complex64 else jnp.float64
@@ -1247,13 +1251,13 @@ def _analysis_cg_grid(op, t, fgrid, niter):
 
     def N(y):
         x = y / s
-        g = _synthesis_grid(op, t, x)
-        return _analysis_once_grid(op, t, g, cdtype) * s
+        g = synth_fn(op, t, x)
+        return proj_fn(op, t, g, cdtype) * s
 
     def dot(u, v):
         return jnp.sum(jnp.real(jnp.conj(u) * v))
 
-    b = _analysis_once_grid(op, t, fgrid, cdtype) * s
+    b = proj_fn(op, t, f, cdtype) * s
     x0 = b
     r0 = b - N(x0)
     rs0 = dot(r0, r0)
@@ -1290,9 +1294,22 @@ def _analysis_cg_grid(op, t, fgrid, niter):
     return y / s
 
 
+def _analysis_cg_grid(op, t, fgrid, niter):
+    """CG map2alm from the dense ring-grid layout."""
+    return _analysis_cg_impl(
+        op, t, fgrid, niter, _synthesis_grid, _analysis_once_grid
+    )
+
+
+def _analysis_cg(op, t, fmap, niter):
+    """CG map2alm from HEALPix pixel ordering."""
+    return _analysis_cg_impl(op, t, fmap, niter, _synthesis, _analysis_once)
+
+
 _synthesis_grid_jit = jax.jit(_synthesis_grid, static_argnums=0)
 _analysis_grid_jit = jax.jit(_analysis_grid, static_argnums=(0, 3))
 _analysis_cg_grid_jit = jax.jit(_analysis_cg_grid, static_argnums=(0, 3))
+_analysis_cg_jit = jax.jit(_analysis_cg, static_argnums=(0, 3))
 
 
 def _synthesis(op, t, alm):
@@ -1940,10 +1957,18 @@ class SHT:
         t = self.tables(self._double_for(alm.dtype))
         return _synthesis_jit(self, t, alm)
 
-    def analysis(self, fmap, iter: int = 3):
-        """map2alm with pixel-area quadrature + Jacobi refinement."""
+    def analysis(self, fmap, iter: int = 3, method: str = "jacobi"):
+        """map2alm with pixel-area quadrature + iterative refinement.
+
+        method="jacobi" (default) matches healpy's map2alm(iter=N)
+        accuracy class; method="cg" solves the quadrature normal
+        equations by conjugate gradients — machine-precision round trips
+        for band-limited maps (lmax ≤ 2·nside) at the same per-iteration
+        cost (accuracy table in BASELINE.md)."""
         fmap = _put(fmap)
         t = self.tables(self._double_for(fmap.dtype))
+        if method == "cg":
+            return _analysis_cg_jit(self, t, fmap, iter)
         return _analysis_jit(self, t, fmap, iter)
 
     def synthesis_grid(self, alm):
@@ -2040,22 +2065,28 @@ def alm2map(alm, nside: int):
     return get_sht(nside, lmax).synthesis(alm)
 
 
-def map2alm(fmap, lmax: int | None = None, iter: int = 3):
-    """Analysis of a HEALPix map into dense alm[..., l, m]."""
+def map2alm(fmap, lmax: int | None = None, iter: int = 3,
+            method: str = "jacobi"):
+    """Analysis of a HEALPix map into dense alm[..., l, m].
+
+    method="cg" upgrades the refinement to conjugate gradients (see
+    SHT.analysis); the default matches healpy's map2alm(iter=N) class.
+    """
     fmap = _put(fmap)
     nside = pixel.npix2nside(fmap.shape[-1])
     if lmax is None:
         lmax = 3 * nside - 1
-    return get_sht(nside, lmax).analysis(fmap, iter)
+    return get_sht(nside, lmax).analysis(fmap, iter, method=method)
 
 
-def anafast(map1, map2=None, lmax: int | None = None, iter: int = 3):
+def anafast(map1, map2=None, lmax: int | None = None, iter: int = 3,
+            method: str = "jacobi"):
     """Angular power spectrum C_l of one map or cross-spectrum of two."""
     nside = pixel.npix2nside(np.asarray(map1).shape[-1])
     if lmax is None:
         lmax = 3 * nside - 1
-    alm1 = map2alm(map1, lmax, iter)
-    alm2 = alm1 if map2 is None else map2alm(map2, lmax, iter)
+    alm1 = map2alm(map1, lmax, iter, method)
+    alm2 = alm1 if map2 is None else map2alm(map2, lmax, iter, method)
     prod = alm1 * jnp.conj(alm2)
     s = prod[..., 0] + 2 * prod[..., 1:].sum(axis=-1).real
     return (s / (2.0 * jnp.arange(lmax + 1) + 1.0)).real

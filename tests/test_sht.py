@@ -544,3 +544,21 @@ def test_banded_cap_conv_matches_dense():
     ts = op_s.tables(True)
     gs = np.asarray(_synthesis_grid(op_s, ts, jnp.asarray(alm)))
     assert np.abs(gs - gb).max() < 1e-12 * np.abs(gb).max()
+
+
+def test_pixel_layout_cg_analysis():
+    """map2alm(method="cg") from HEALPix pixel ordering: machine-precision
+    round trip for a band-limited map, matching the grid-layout CG."""
+    from cora_tpu.healpix.sht import map2alm, alm2map
+
+    nside = 16
+    lmax = 2 * nside
+    rng = np.random.RandomState(7)
+    alm = _random_alm(rng, lmax)
+    m = alm2map(jnp.asarray(alm), nside)
+    a_cg = np.asarray(map2alm(m, lmax, iter=12, method="cg"))
+    a_ja = np.asarray(map2alm(m, lmax, iter=3))
+    err_cg = np.linalg.norm(a_cg[1:] - alm[1:]) / np.linalg.norm(alm[1:])
+    err_ja = np.linalg.norm(a_ja[1:] - alm[1:]) / np.linalg.norm(alm[1:])
+    assert err_cg < 1e-12
+    assert err_cg < err_ja
