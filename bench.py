@@ -82,6 +82,12 @@ def main():
     p.add_argument("--ckevery", type=int, default=1,
                    help="scan mode: re-seed every k-th ell chunk "
                         "(table 1/k the size)")
+    p.add_argument("--xi", default="f32", choices=["f32", "bf16"],
+                   help="white-noise draw dtype. bf16 halves the RNG bits "
+                        "and is chi^2-valid (tests/test_skysim.py), but "
+                        "measured NO step win in the fused program on v5e "
+                        "(0.587 vs 0.581 s) — isolated-probe gain "
+                        "(tools/tpu_rng.py) does not survive in context")
     p.add_argument("--prec", default="highest",
                    choices=["default", "high", "highest"],
                    help="matmul precision for the transform contractions "
@@ -184,11 +190,14 @@ def main():
     # (Legendre stage at fleg frequencies for full MXU row tiles and
     # one-shot RNG; ring FFT stage at fchunk to bound HBM), accumulated to
     # a scalar on device.  The full alm cube never materialises in HBM.
+    xi_dtype = jnp.bfloat16 if args.xi == "bf16" else jnp.float32
+
     @jax.jit
     def step_fn(key, r, t):
         return synthesis_scan_correlated(
             op, t, r, key, fleg, fchunk,
             lambda g, z, acc: acc + jnp.sum(jnp.abs(g)), jnp.float32(0.0),
+            xi_dtype=xi_dtype,
         )
 
     def step(key):

@@ -327,7 +327,8 @@ def _join_planes(x):
     return jax.lax.complex(x[..., 0, :, :], x[..., 1, :, :])
 
 
-def _make_split_draw_blk(roots_p, key, z_lo, nz_chunk, nz):
+def _make_split_draw_blk(roots_p, key, z_lo, nz_chunk, nz,
+                         xi_dtype=jnp.float32):
     """Correlated-draw block producer in split re/im f32 planes.
 
     Returns ``alm_blk(c, off, nrows, mw) -> [nz_chunk, 2, nrows, mw]``
@@ -338,8 +339,16 @@ def _make_split_draw_blk(roots_p, key, z_lo, nz_chunk, nz):
     tools/complex_vs_split.py) — and the covariance roots are streamed as
     f32, never upcast to complex64.
 
-    The ξ values are drawn with the same keys/shapes as the former complex
-    path, so realisations are stream-identical.
+    With the default ``xi_dtype`` the ξ values are drawn with the same
+    keys/shapes as the former complex path, so realisations are
+    stream-identical.  ``xi_dtype=jnp.bfloat16`` halves the random bits
+    per value; a bf16 normal is a valid Gaussian draw from a coarser
+    (8-bit mantissa) stream, not a rounded copy of the f32 draw, and its
+    C_l statistics are χ²-indistinguishable from f32
+    (tests/test_skysim.py test_bf16_xi_statistics).  Measured on v5e:
+    the isolated draw chunk speeds up 5.6 → 4.4 ms (tools/tpu_rng.py)
+    but the fused flagship step does NOT (0.587 vs 0.581 s) — the draw
+    overlaps other work in context — so f32 stays the default.
     """
     from jax import lax
 
@@ -354,11 +363,11 @@ def _make_split_draw_blk(roots_p, key, z_lo, nz_chunk, nz):
             half = jnp.asarray(0.70710678, jnp.float32)
             xi = jnp.stack(
                 [
-                    jax.random.normal(kr, shape, jnp.float32),
-                    jax.random.normal(ki, shape, jnp.float32),
+                    jax.random.normal(kr, shape, xi_dtype),
+                    jax.random.normal(ki, shape, xi_dtype),
                 ],
                 axis=2,
-            ) * half  # [nrows, nz, 2, mw]
+            ).astype(jnp.float32) * half  # [nrows, nz, 2, mw]
             rblk = lax.dynamic_slice(
                 roots_p, (off, z_lo, 0), (nrows, nz_chunk, nz)
             )
@@ -368,14 +377,16 @@ def _make_split_draw_blk(roots_p, key, z_lo, nz_chunk, nz):
     return alm_blk
 
 
-def _correlated_GeGo(op, t, roots_p, key, z_lo, nz_chunk):
+def _correlated_GeGo(op, t, roots_p, key, z_lo, nz_chunk,
+                     xi_dtype=jnp.float32):
     """Even/odd ring accumulators for one frequency chunk of the
     correlated draw (parity-packed roots; see synthesis_grid_correlated).
 
     Runs in split re/im f32 planes end-to-end (see _make_split_draw_blk);
     planes join to complex only here, at the ring-stage boundary."""
     nz = roots_p.shape[-1]
-    alm_blk = _make_split_draw_blk(roots_p, key, z_lo, nz_chunk, nz)
+    alm_blk = _make_split_draw_blk(roots_p, key, z_lo, nz_chunk, nz,
+                                   xi_dtype)
 
     with _stage("legendre"):
         Ge, Go = _legendre_contract_streamed(
@@ -384,7 +395,8 @@ def _correlated_GeGo(op, t, roots_p, key, z_lo, nz_chunk):
     return _join_planes(Ge), _join_planes(Go)
 
 
-def _correlated_GeGo_scan(op, t, roots, key, z_lo, nz_chunk):
+def _correlated_GeGo_scan(op, t, roots, key, z_lo, nz_chunk,
+                          xi_dtype=jnp.float32):
     """Scan-mode (Λ-free) twin of :func:`_correlated_GeGo`.
 
     roots are plain [L, nz, nz] (consecutive ℓ, not parity-packed); each
@@ -404,7 +416,7 @@ def _correlated_GeGo_scan(op, t, roots, key, z_lo, nz_chunk):
             roots, [(0, Lp - roots.shape[0])] + [(0, 0)] * (roots.ndim - 1)
         )
 
-    alm_blk = _make_split_draw_blk(roots, key, z_lo, nz_chunk, nz)
+    alm_blk = _make_split_draw_blk(roots, key, z_lo, nz_chunk, nz, xi_dtype)
 
     with _stage("legendre"):
         Ge, Go = _legendre_contract_scan_streamed(
@@ -414,7 +426,7 @@ def _correlated_GeGo_scan(op, t, roots, key, z_lo, nz_chunk):
 
 
 def synthesis_scan_correlated(op, t, roots, key, nz_leg, nz_ring, consume,
-                              init):
+                              init, xi_dtype=jnp.float32):
     """Two-level streamed correlated synthesis.
 
     Level 1 (``nz_leg`` frequencies): the Legendre contraction runs with a
@@ -443,9 +455,11 @@ def synthesis_scan_correlated(op, t, roots, key, nz_leg, nz_ring, consume,
     def leg_body(i, carry):
         z0 = i * nz_leg
         if cached:
-            Ge, Go = _correlated_GeGo(op, t, roots_p, key, z0, nz_leg)
+            Ge, Go = _correlated_GeGo(op, t, roots_p, key, z0, nz_leg,
+                                      xi_dtype)
         else:
-            Ge, Go = _correlated_GeGo_scan(op, t, roots_p, key, z0, nz_leg)
+            Ge, Go = _correlated_GeGo_scan(op, t, roots_p, key, z0, nz_leg,
+                                           xi_dtype)
 
         def ring_body(j, carry2):
             ge = lax.dynamic_slice_in_dim(Ge, j * nz_ring, nz_ring, axis=0)

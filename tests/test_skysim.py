@@ -216,3 +216,65 @@ def test_clfast_window_accuracy():
     ))
     nd = np.abs(cla_fast[sel] - cla_romb[sel]) / np.maximum(denom, 1e-300)
     assert nd.max() < 3e-2
+
+
+def test_bf16_xi_statistics():
+    """bf16 white-noise draw (xi_dtype) keeps C_l recovery inside cosmic
+    variance: the ~0.4% zero-mean quantization noise per xi value inflates
+    realised C_l by O(1e-5) relative, far below the chi^2 detection
+    threshold.  bf16 normals are a DIFFERENT stream (drawn from 16-bit
+    uniforms), not a rounded copy of the f32 draw, so the check is
+    distributional: same map variance class, C_l chi^2 within cosmic
+    variance."""
+    from cora_tpu.healpix.sht import SHT, synthesis_scan_correlated
+
+    nside, lmax, nz = 16, 47, 8
+    nreal = 3
+    l = np.arange(lmax + 1, dtype=np.float64)
+    cl = np.where(l < 2, 0.0, (l + 1.0) ** -2)
+    corr = np.zeros((lmax + 1, nz, nz))
+    for i in range(nz):
+        corr[:, i, i] = cl
+
+    roots = skysim.host_covariance_roots(corr).astype(np.float32)
+    op = SHT(nside, lmax, legendre_mode="cached", fft_mode="xla")
+    t = op.tables(False)
+    nq_max = int(op._nq.max())
+
+    def run(key, xi_dtype):
+        def consume(g, z, acc):
+            return jax.lax.dynamic_update_slice_in_dim(acc, g, z, 0)
+
+        cube0 = jnp.zeros((nz, op.nring, nq_max), jnp.float32)
+        g = synthesis_scan_correlated(
+            op, t, jnp.asarray(roots), key, nz, nz // 2, consume, cube0,
+            xi_dtype=xi_dtype,
+        )
+        return g
+
+    g32 = np.asarray(run(jax.random.PRNGKey(0), jnp.float32))
+    g16 = np.asarray(run(jax.random.PRNGKey(0), jnp.bfloat16))
+    # different streams (bf16 is not a rounded f32 draw) but the same
+    # ensemble: per-cube std agrees to realisation scatter
+    assert not np.allclose(g16, g32)
+    assert abs(g16.std() / g32.std() - 1.0) < 0.15
+
+    band = slice(2, 2 * nside + 1)
+    lb = np.arange(lmax + 1)[band]
+    cl_meas = []
+    for r in range(nreal):
+        g = run(jax.random.PRNGKey(r), jnp.bfloat16)
+        alm = np.asarray(op.analysis_grid(g, iter=3))
+        prod = (np.abs(alm) ** 2)
+        s = prod[..., 0] + 2 * prod[..., 1:].sum(axis=-1)
+        cl_meas.append(s / (2.0 * np.arange(lmax + 1) + 1.0))
+    cl_meas = np.concatenate(cl_meas, axis=0)
+
+    t_per = (2 * lb + 1) * cl_meas[:, band] / cl[band]
+    T = t_per.sum()
+    N = cl_meas.shape[0] * (2 * lb + 1).sum()
+    z_global = (T - N) / np.sqrt(2 * N)
+    assert abs(z_global) < 5.0, z_global
+    k = cl_meas.shape[0] * (2 * lb + 1)
+    z_l = (t_per.sum(axis=0) - k) / np.sqrt(2 * k)
+    assert np.abs(z_l).max() < 5.5, z_l

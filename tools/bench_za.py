@@ -79,18 +79,18 @@ geom_d = xfer.put_tree(
 psi_d = xfer.put(psi.astype(f32))
 db_d = xfer.put(delta_b)
 dm_d = xfer.put(delta_m)
-chi_d = xfer.put(chi.astype(f32))
+chi_h = chi.astype(f32)  # host: za_density_sph inspects ordering/steps
 print(f"# setup+transfer: {time.time()-t0:.1f}s", file=sys.stderr)
 
 
 @jax.jit
-def step(psi_, db_, dm_, chi_, g):
-    out = pmesh.za_density_sph(psi_, db_, dm_, chi_, nside, geometry=g)
+def step(psi_, db_, dm_, g):
+    out = pmesh.za_density_sph(psi_, db_, dm_, chi_h, nside, geometry=g)
     return out, jnp.sum(jnp.abs(out))
 
 
 t0 = time.time()
-out, s = step(psi_d, db_d, dm_d, chi_d, geom_d)
+out, s = step(psi_d, db_d, dm_d, geom_d)
 s = float(s)
 print(f"# warmup (incl. compile): {time.time()-t0:.1f}s sum={s:.3e}",
       file=sys.stderr)
@@ -104,7 +104,7 @@ assert abs(total - expect) / expect < 0.02, (total, expect)
 ts = []
 for _ in range(args.repeats):
     t0 = time.time()
-    float(step(psi_d, db_d, dm_d, chi_d, geom_d)[1])
+    float(step(psi_d, db_d, dm_d, geom_d)[1])
     ts.append(time.time() - t0)
 dt = min(ts)
 particles = nchi * npix
