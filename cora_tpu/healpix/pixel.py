@@ -6,8 +6,8 @@ see reference cora/util/hputil.py and call sites in galaxy.py, pointsource.py,
 lss.py).  Algorithms follow the standard HEALPix definitions (Górski et al.
 2005); everything is vectorised index arithmetic with no per-pixel loops.
 
-Host paths are numpy float64; :mod:`cora_tpu.healpix.jaxpix` provides the
-jittable variants used inside device programs.
+Host paths are numpy float64; the jittable in-graph variants (ang2pix used
+by the SPH gridder) live in :func:`cora_tpu.ops.pmesh.ang2pix_ring_jax`.
 """
 
 from __future__ import annotations

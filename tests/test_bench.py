@@ -15,7 +15,10 @@ def test_bench_worker_json_schema():
         [sys.executable, os.path.join(root, "bench.py"),
          "--cpu", "--nside", "16", "--nfreq", "4",
          "--repeats", "1", "--fchunk", "4"],
-        capture_output=True, text=True, timeout=420, cwd=root, env=env,
+        # 900 s: the cold-cache table build is ~15 s alone but this 1-core
+        # box is routinely oversubscribed (concurrent TPU benches, virtual
+        # 8-device CPU meshes) — the timeout must survive ~10x contention.
+        capture_output=True, text=True, timeout=900, cwd=root, env=env,
     )
     assert r.returncode == 0, r.stderr[-800:]
     lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
