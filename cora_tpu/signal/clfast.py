@@ -62,14 +62,32 @@ def _double_antiderivative(I, dr):
     closed form as 2β·(max(r, a+b) - max(r, |a-b|)), which needs β.
     """
 
-    def rev_cumtrapz(a):
-        inc = 0.5 * (a[..., 1:] + a[..., :-1]) * dr
-        out = np.zeros_like(a)
-        out[..., :-1] = np.cumsum(inc[..., ::-1], axis=-1)[..., ::-1]
+    # Chunked over rows with bounded temporaries: the tables are ~131 MB
+    # each and fresh page faults are expensive on some virtualised hosts.
+    def rev_cumtrapz(a, out):
+        for i0 in range(0, a.shape[0], 32):
+            sl = slice(i0, min(i0 + 32, a.shape[0]))
+            inc = 0.5 * dr * (a[sl, 1:] + a[sl, :-1])
+            out[sl, :-1] = np.cumsum(inc[:, ::-1], axis=-1)[:, ::-1]
+            out[sl, -1] = 0.0
         return out
 
-    T = rev_cumtrapz(I)
-    return rev_cumtrapz(T), T[..., 0]
+    T = rev_cumtrapz(I, _scratch_like(I))
+    K = rev_cumtrapz(T, np.empty_like(I))
+    return K, T[..., 0].copy()
+
+
+_SCRATCH = {}
+
+
+def _scratch_like(a):
+    """Shared scratch buffer (per shape/dtype) — contents are transient."""
+    key = (a.shape, a.dtype.str)
+    buf = _SCRATCH.get(key)
+    if buf is None:
+        buf = np.empty_like(a)
+        _SCRATCH[key] = buf
+    return buf
 
 
 def build_cl_tables(model, freqs, freq_width=None, dtype=np.float32,
@@ -131,13 +149,13 @@ def build_cl_tables(model, freqs, freq_width=None, dtype=np.float32,
         Kdv, bdv = _double_antiderivative(model._aps_dv, dr)
         Kvv, bvv = _double_antiderivative(model._aps_vv, dr)
         tables = dict(
-            dd=Kdd.astype(dtype),
-            dv=Kdv.astype(dtype),
-            vv=Kvv.astype(dtype),
-            beta_dd=bdd.astype(dtype),
-            beta_dv=bdv.astype(dtype),
-            beta_vv=bvv.astype(dtype),
-            a=(Wi / 2.0).astype(dtype),
+            dd=Kdd.astype(dtype, copy=False),
+            dv=Kdv.astype(dtype, copy=False),
+            vv=Kvv.astype(dtype, copy=False),
+            beta_dd=bdd.astype(dtype, copy=False),
+            beta_dv=bdv.astype(dtype, copy=False),
+            beta_vv=bvv.astype(dtype, copy=False),
+            a=(Wi / 2.0).astype(dtype, copy=False),
         )
         model._freq_window = old_window
         model._aps_cache = old_cache
@@ -164,9 +182,9 @@ def build_cl_tables(model, freqs, freq_width=None, dtype=np.float32,
         model._aps_cache = False
         model._build_fft_cache()
         tables = dict(
-            dd=model._aps_dd.astype(dtype),
-            dv=model._aps_dv.astype(dtype),
-            vv=model._aps_vv.astype(dtype),
+            dd=model._aps_dd.astype(dtype, copy=False),
+            dv=model._aps_dv.astype(dtype, copy=False),
+            vv=model._aps_vv.astype(dtype, copy=False),
         )
         model._freq_window = old_window
         model._aps_cache = old_cache
@@ -175,15 +193,15 @@ def build_cl_tables(model, freqs, freq_width=None, dtype=np.float32,
 
     D = model.growth_factor(z) / model.growth_factor(model.ps_redshift)
     tables.update(
-        chi=chi.astype(dtype),
-        D=np.asarray(D).astype(dtype),
-        f=np.asarray(model.growth_rate(z)).astype(dtype),
-        b=np.asarray(model.bias_z(z)).astype(dtype),
-        pf=np.asarray(model.prefactor(z)).astype(dtype),
+        chi=chi.astype(dtype, copy=False),
+        D=np.asarray(D).astype(dtype, copy=False),
+        f=np.asarray(model.growth_rate(z)).astype(dtype, copy=False),
+        b=np.asarray(model.bias_z(z)).astype(dtype, copy=False),
+        pf=np.asarray(model.prefactor(z)).astype(dtype, copy=False),
         grid=np.array(
             [model._kperpmin, model._kperpmax, model._nkperp, model._kparmax],
             dtype=np.float64,
-        ).astype(dtype),
+        ).astype(dtype, copy=False),
     )
     return tables
 
