@@ -233,9 +233,14 @@ def cl_grid_np(tables, lmax):
     Same math as :func:`cl_grid`; use when the accelerator backend should
     not be touched during setup (e.g. the benchmark's one-time table
     build).
-    """
-    from ..util.bilinear import interp2d_np
 
+    Evaluation order exploits that the rpar (y) index depends only on the
+    channel pair, not on l: the three tables are y-lerped and combined
+    with their Kaiser coefficients into ONE (nkperp, nz²) matrix per
+    window offset, so the l-dependent part is a single row-lerp gather —
+    ~5x fewer output-sized gathers than interpolating each table
+    separately (the lmax=1535 × 256² flagship grid is ~100M points).
+    """
     g = np.asarray(tables["grid"], dtype=np.float64)
     kperpmin, kperpmax, nkperp, kparmax = g[0], g[1], g[2], g[3]
     chi = np.asarray(tables["chi"], dtype=np.float64)
@@ -260,60 +265,80 @@ def cl_grid_np(tables, lmax):
     dv = np.asarray(tables["dv"])
     vv = np.asarray(tables["vv"])
 
+    nz = chi.shape[0]
+    P = nz * nz
+    nx, ny = dd.shape
+    pre = A / (xc**2 * np.pi)
+
+    def _ylerp_combined(yflat, coefs, out_buf):
+        """N[i, p] = sum_tab coefs[tab][p] * y-lerp of tab at yflat[p]."""
+        yy = np.clip(yflat, 0.0, ny - 1e-5)
+        y0 = np.clip(np.floor(yy).astype(np.int64), 0, ny - 2)
+        fy = yy - y0
+        gy = 1.0 - fy
+        for r0 in range(0, nx, 64):
+            r1 = min(nx, r0 + 64)
+            acc = coefs[0] * (dd[r0:r1, y0] * gy + dd[r0:r1, y0 + 1] * fy)
+            acc += coefs[1] * (dv[r0:r1, y0] * gy + dv[r0:r1, y0 + 1] * fy)
+            acc += coefs[2] * (vv[r0:r1, y0] * gy + vv[r0:r1, y0 + 1] * fy)
+            out_buf[r0:r1] = acc
+        return out_buf
+
+    lxk = np.log10(xc.ravel() * kperpmin)
+    xsc = (nkperp - 1) / np.log10(kperpmax / kperpmin)
+    lchunk = max(1, min(256, (1 << 24) // max(P, 1)))
+    pidx = np.arange(P)[None, :]
+
+    def _xlerp_into(N, out2d, scale):
+        """out2d[l, p] += scale * row-lerp of N at x(l, p), chunked over l."""
+        for lo in range(0, lmax + 1, lchunk):
+            hi = min(lmax + 1, lo + lchunk)
+            x = (np.log10(la[lo:hi])[:, None] - lxk[None, :]) * xsc
+            np.clip(x, 0.0, nx - 1e-5, out=x)
+            x0 = np.clip(np.floor(x).astype(np.int64), 0, nx - 2)
+            fx = x - x0
+            out2d[lo:hi] += scale * (
+                N[x0, pidx] * (1.0 - fx) + N[x0 + 1, pidx] * fx
+            )
+
+    out = np.zeros((lmax + 1, P))
+    N = np.empty((nx, P))
+
     if "a" in tables:
         # exact per-channel windows: 4-point K̃ combination plus the
         # closed-form affine restoration (module doc / _double_antiderivative)
         av = np.asarray(tables["a"], dtype=np.float64)
         dr = np.pi / kparmax
-        apb = av[:, None] + av[None, :]
-        amb = np.abs(av[:, None] - av[None, :])
+        apb = (av[:, None] + av[None, :]).ravel()
+        amb = np.abs(av[:, None] - av[None, :]).ravel()
+        rp = rpar.ravel()
         ys = [
-            (rpar + apb) / dr,
-            np.abs(rpar - apb) / dr,
-            (rpar + amb) / dr,
-            np.abs(rpar - amb) / dr,
+            (rp + apb) / dr,
+            np.abs(rp - apb) / dr,
+            (rp + amb) / dr,
+            np.abs(rp - amb) / dr,
         ]
         sgn = (1.0, 1.0, -1.0, -1.0)
         norm = 1.0 / (4.0 * av[:, None] * av[None, :])
-        aff = 2.0 * (np.maximum(rpar, apb) - np.maximum(rpar, amb))
-        betas = {
-            id(dd): np.asarray(tables["beta_dd"], np.float64),
-            id(dv): np.asarray(tables["beta_dv"], np.float64),
-            id(vv): np.asarray(tables["beta_vv"], np.float64),
-        }
-
-        def lookup(tab, x):
-            acc = 0.0
-            for s, y2 in zip(sgn, ys):
-                acc = acc + s * interp2d_np(
-                    tab, x, np.broadcast_to(y2[None], x.shape)
-                )
-            beta = betas[id(tab)]
-            nb = beta.shape[0]
-            xx = np.clip(x, 0.0, nb - 1e-5)
-            x0 = np.clip(np.floor(xx).astype(np.int64), 0, nb - 2)
-            bx = beta[x0] * (1 - (xx - x0)) + beta[x0 + 1] * (xx - x0)
-            return (acc + bx * aff[None]) * norm[None]
+        aff = (2.0 * (np.maximum(rp, apb) - np.maximum(rp, amb)))
+        coefs = [(pre * bb * norm).ravel(), (pre * fb * norm).ravel(),
+                 (pre * ff * norm).ravel()]
+        # window-offset lookups into the tab-combined y-lerped matrices
+        for s, yj in zip(sgn, ys):
+            _xlerp_into(_ylerp_combined(yj, coefs, N), out, s)
+        # affine restoration: beta is a function of the kperp row only
+        bc = (
+            coefs[0][None, :] * np.asarray(tables["beta_dd"], np.float64)[:, None]
+            + coefs[1][None, :] * np.asarray(tables["beta_dv"], np.float64)[:, None]
+            + coefs[2][None, :] * np.asarray(tables["beta_vv"], np.float64)[:, None]
+        )
+        N[:] = bc * aff[None, :]
+        _xlerp_into(N, out, 1.0)
     else:
-        def lookup(tab, x):
-            y = np.broadcast_to(y2d[None], x.shape)
-            return interp2d_np(tab, x, y)
+        coefs = [(pre * bb).ravel(), (pre * fb).ravel(), (pre * ff).ravel()]
+        _xlerp_into(_ylerp_combined(y2d.ravel(), coefs, N), out, 1.0)
 
-    # chunk over l to bound host memory for large (lmax, nz) grids
-    out = np.empty((lmax + 1,) + xc.shape)
-    for lo in range(0, lmax + 1, 256):
-        hi = min(lmax + 1, lo + 256)
-        x = (
-            (np.log10(la[lo:hi])[:, None, None] - np.log10(xc * kperpmin)[None])
-            / np.log10(kperpmax / kperpmin)
-            * (nkperp - 1)
-        )
-        out[lo:hi] = (A / (xc**2 * np.pi))[None] * (
-            bb[None] * lookup(dd, x)
-            + fb[None] * lookup(dv, x)
-            + ff[None] * lookup(vv, x)
-        )
-    return out
+    return out.reshape((lmax + 1, nz, nz))
 
 
 def cl_grid(tables, lmax):
