@@ -93,6 +93,12 @@ def main():
                    help="matmul precision for the transform contractions "
                         "(high = 3-pass bf16, ~2x MXU throughput; accuracy "
                         "ladder in tools/tpu_prec.py)")
+    p.add_argument("--lambuild", default="device", choices=["host", "device"],
+                   help="cached-Λ table build: 'device' materialises the "
+                        "chunks on the TPU via the scaled+checkpointed "
+                        "recurrence (seconds; ~1e-6 map RMS class), 'host' "
+                        "runs the exact f64 host build + multi-GB transfer "
+                        "(minutes; ~2e-7)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -168,6 +174,7 @@ def main():
     op = SHT(nside, lmax, legendre_mode=args.legmode, fft_mode="mm",
              l_chunk=args.lchunk, cap_sub=args.capsub, precision=args.prec,
              scan_ckpt=args.legmode == "scan", ckpt_every=args.ckevery,
+             lambda_build=args.lambuild,
              ckpt_cache=os.path.join(
                  cache_dir, f"ck_{nside}_{args.lchunk}_{args.ckevery}.npz"),
              lambda_cache=os.path.join(

@@ -592,6 +592,114 @@ def _ck_override(ck, lam_p, lam_pp, k):
     return lam_p, lam_pp, k
 
 
+def _build_lambda_device(op, fdt=np.float32):
+    """Materialise the cached parity-packed Λ chunks ON DEVICE.
+
+    Runs the scaled + checkpointed associated-Legendre recurrence (the
+    scan-mode machinery: :func:`_scaled_lam_step` / :func:`_ck_override`)
+    once over all ℓ and writes the rows straight into the m-major
+    ``[mw, nrows, nh]`` chunk layout the cached contraction consumes.
+    This replaces the host f64 build + multi-GB host→device transfer
+    (~6.4 GB and minutes over a tunnelled runtime at Nside=512) with ~1 s
+    of on-device work; only the small recurrence tables and the
+    1/(l_chunk·ckpt_every) checkpoint rows cross the wire.
+
+    Accuracy is the scan-mode class: checkpoint re-seeding bounds the f32
+    recurrence error growth to O(l_chunk·ε) — ~1e-6 map RMS, within the
+    1e-5 contract.  The host f64 build (``lambda_build="host"``) stays the
+    exactness reference (~2e-7 map RMS).
+
+    The reference's libsharp (wrapped at cora/util/hputil.py:195-531)
+    regenerates λ rows per transform on the CPU; here the accelerator
+    builds its own resident "weights", the way an ML framework initialises
+    parameters on device.
+    """
+    L = op.lmax + 1
+    nh = op.nhalf
+    lc = op.l_chunk
+    if lc % 2:
+        raise ValueError("device Λ build requires even l_chunk")
+    nchunk = -(-L // lc)
+    ke = op.ckpt_every
+    meta = op._lam_meta
+
+    # small host-side inputs: recurrence rows + pre-scaled seeds (+ the
+    # f64-built checkpoint rows when available — f32 build only: overriding
+    # an exact f64 recurrence with f32-cast rows would degrade it)
+    S, beta = _lam_scale_params(fdt)
+    log2lam = op._log2_lam_mm
+    k0 = np.ceil(np.maximum(0.0, -(log2lam + beta) / S))
+    with np.errstate(under="ignore"):
+        seeds = op._lam_sign * np.exp2(log2lam + S * k0)
+    rec_a = _put(op._rec_a.astype(fdt))
+    rec_b = _put(op._rec_b.astype(fdt))
+    lam_mm = _put(seeds.astype(fdt))
+    k0_d = _put(k0.astype(fdt))
+    z = _put(op._z_half.astype(fdt))
+    ck = (
+        _put(op._ck_host)
+        if op._ck_host is not None and np.dtype(fdt) == np.dtype(np.float32)
+        else None
+    )
+
+    # chunk index by (parity, parity-chunk ordinal): scan chunk c feeds its
+    # parity-p rows to parity chunk j = c//2 at row offset (c%2)·lc/2
+    cidx = {}
+    for ci, (p, sub_lo, _, _) in enumerate(meta):
+        cidx[(p, sub_lo // lc)] = ci
+
+    m_arr = jnp.arange(L)
+
+    def build(rec_a, rec_b, lam_mm, k0_d, z, ck):
+        outs = [jnp.zeros((mw, nrows, nh), fdt) for (_, _, nrows, mw) in meta]
+        lam_p = jnp.zeros((nh, L), fdt)
+        lam_pp = jnp.zeros_like(lam_p)
+        k = jnp.zeros_like(lam_p)
+        for c in range(nchunk):
+            if ck is not None and c % ke == 0:
+                lam_p, lam_pp, k = _ck_override(ck[c // ke], lam_p, lam_pp, k)
+            l0 = c * lc
+            mw_c = min(L, ((min(L, (c + 1) * lc) + 127) // 128) * 128)
+            l_step = _scaled_lam_step(lam_mm, k0_d, z, m_arr, out_mw=mw_c)
+            nr = min(L - l0, lc)
+            aa = rec_a[l0 : l0 + nr]
+            bb = rec_b[l0 : l0 + nr]
+            if nr < lc:  # padded rows have zero rec coeffs → zero λ
+                aa = jnp.pad(aa, [(0, lc - nr), (0, 0)])
+                bb = jnp.pad(bb, [(0, lc - nr), (0, 0)])
+            (lam_p, lam_pp, k, _), lam_chunk = jax.lax.scan(
+                l_step, (lam_p, lam_pp, k, jnp.asarray(l0)), (aa, bb)
+            )
+            # consecutive-ℓ rows alternate parity (l0 = c·lc even, lc even):
+            # rows p::2 have ℓ-parity p
+            j, off = c // 2, (c % 2) * (lc // 2)
+            for p in (0, 1):
+                ci = cidx.get((p, j))
+                if ci is None:
+                    continue
+                nrows_j, mw_j = meta[ci][2], meta[ci][3]
+                nw = min(lc // 2, nrows_j - off)
+                if nw <= 0:  # rows past the parity subsequence (tail pad)
+                    continue
+                blk = lam_chunk[p::2][:nw, :, : min(mw_c, mw_j)]
+                blk = jnp.transpose(blk, (2, 0, 1))  # → [mw, nw, nh]
+                outs[ci] = jax.lax.dynamic_update_slice(
+                    outs[ci], blk, (0, off, 0)
+                )
+            # sequence the unrolled chunks: bounds the λ-workspace liveness
+            # (same pattern as _legendre_contract_scan_streamed)
+            sq = jax.lax.optimization_barrier(
+                tuple(outs) + (lam_p, lam_pp, k)
+            )
+            outs = list(sq[: len(meta)])
+            lam_p, lam_pp, k = sq[len(meta) :]
+        return tuple(outs)
+
+    if ck is not None:
+        return jax.jit(build)(rec_a, rec_b, lam_mm, k0_d, z, ck)
+    return jax.jit(lambda *a: build(*a, None))(rec_a, rec_b, lam_mm, k0_d, z)
+
+
 def _legendre_contract_scan(op, t, alm):
     """In-graph recurrence variant (no Λ memory; scaled recurrence keeps
     it correct to arbitrary lmax in f32 or f64).
@@ -1392,6 +1500,7 @@ class SHT:
         ckpt_cache: str | None = None,
         ckpt_every: int = 1,
         cap_bands: int | None = None,
+        lambda_build: str = "host",
     ):
         self.nside = int(nside)
         self.lmax = int(lmax)
@@ -1654,8 +1763,17 @@ class SHT:
         self._south_idx = self._mirror[nh:]
 
         self._lam_meta = self._lambda_chunk_meta()
+        # "host": exact f64 host recurrence → f32 chunks (accuracy
+        # reference, ~2e-7 map RMS; minutes of host build + a multi-GB
+        # transfer at large Nside).  "device": chunks materialised on the
+        # accelerator by the scaled+checkpointed recurrence
+        # (_build_lambda_device) — seconds of setup, scan-mode accuracy
+        # class (~1e-6 map RMS, within the 1e-5 contract).
+        if lambda_build not in ("host", "device"):
+            raise ValueError(f"unknown lambda_build {lambda_build!r}")
+        self.lambda_build = lambda_build
         self._lam_host = None
-        if legendre_mode == "cached":
+        if legendre_mode == "cached" and lambda_build == "host":
             self._lam_host = self._load_or_build_lambda(lambda_cache)
         self.scan_ckpt = bool(scan_ckpt)
         # re-seed every ckpt_every-th ℓ-chunk only (table is 1/ckpt_every
@@ -1663,7 +1781,9 @@ class SHT:
         # streamed and the dense lax.scan paths apply it per band.
         self.ckpt_every = max(1, int(ckpt_every))
         self._ck_host = None
-        if legendre_mode == "scan" and scan_ckpt:
+        if (legendre_mode == "scan" and scan_ckpt) or (
+            legendre_mode == "cached" and lambda_build == "device"
+        ):
             self._ck_host = self._load_or_build_checkpoints(ckpt_cache)
 
         # device table cache per precision
@@ -1868,15 +1988,24 @@ class SHT:
         cdt = np.complex128 if double else np.complex64
         fdt = np.float64 if double else np.float32
 
+        # Device Λ build runs OUTSIDE ensure_compile_time_eval: under that
+        # context its jit would be constant-folded op-by-op and the
+        # multi-GB chunks would be captured as lowering constants.  Here
+        # it executes as one real jitted program with device-array inputs.
+        lam_dev = None
+        if self.legendre_mode == "cached" and self._lam_host is None:
+            with _stage("lambda_device_build"):
+                lam_dev = _build_lambda_device(self, fdt)
+
         # Build eagerly even if called during a trace — cached device
         # buffers must be concrete arrays, not trace-local constants.
         with jax.ensure_compile_time_eval():
-            t = self._make_tables(cdt, fdt)
+            t = self._make_tables(cdt, fdt, lam_dev)
 
         self._dev_tables[key] = t
         return t
 
-    def _make_tables(self, cdt, fdt):
+    def _make_tables(self, cdt, fdt, lam_dev=None):
         # Every leaf goes through xfer.put: complex tables must be shipped
         # as (re, im) float pairs on backends whose complex H2D transfer
         # path is broken (see cora_tpu/util/xfer.py).
@@ -1937,6 +2066,8 @@ class SHT:
                 ))
                 for c_ in self._lam_host
             )
+        elif self.legendre_mode == "cached":  # lambda_build == "device"
+            t["lam"] = lam_dev
         else:
             S, beta = _lam_scale_params(fdt)
             log2lam = self._log2_lam_mm
@@ -2048,14 +2179,19 @@ class SHT:
 
 @lru_cache(maxsize=8)
 def get_sht(
-    nside: int, lmax: int, l_chunk: int = 64, legendre_mode=None, fft_mode=None
+    nside: int, lmax: int, l_chunk: int = 64, legendre_mode=None,
+    fft_mode=None, lambda_build=None,
 ) -> SHT:
     """Cached SHT operator.
 
     Defaults: "cached" Legendre + matmul FFT on accelerators ("scan" +
     XLA FFT on CPU); above nside=512 the cached Λ table exceeds
     single-chip HBM, so accelerators switch to the Λ-free checkpointed
-    scan automatically.
+    scan automatically.  On accelerators the cached Λ chunks are
+    materialised on device by default (lambda_build="device": seconds of
+    setup instead of a minutes-long host f64 build + multi-GB transfer;
+    scan-accuracy class, within the 1e-5 map contract — pass
+    lambda_build="host" for the exact f64-built reference tables).
     """
     on_cpu = jax.default_backend() == "cpu"
     big = nside > 512
@@ -2063,13 +2199,39 @@ def get_sht(
         legendre_mode = "scan" if (on_cpu or big) else "cached"
     if fft_mode is None:
         fft_mode = "xla" if on_cpu else "mm"
+    if lambda_build is None:
+        lambda_build = "host" if on_cpu else "device"
+    cdir = _user_cache_dir()
+    ke = max(1, (nside // 512) ** 2)
     return SHT(
         nside, lmax, l_chunk=l_chunk, legendre_mode=legendre_mode,
         fft_mode=fft_mode, scan_ckpt=legendre_mode == "scan" and not on_cpu,
+        lambda_build=lambda_build,
+        lambda_cache=cdir and f"{cdir}/lam_{nside}_{lmax}_{l_chunk}.npz",
+        ckpt_cache=cdir and f"{cdir}/ck_{nside}_{lmax}_{l_chunk}_{ke}.npz",
         # keep the checkpoint table bounded as lmax grows (it scales as
         # nh·L²/(l_chunk·ckpt_every))
-        ckpt_every=max(1, (nside // 512) ** 2),
+        ckpt_every=ke,
     )
+
+
+def _user_cache_dir():
+    """Per-user table-cache dir: $CORA_TPU_CACHE, ~/.cache/cora_tpu, or
+    None (in-memory only) if unwritable.  Λ chunks and scan checkpoints
+    are pure functions of (nside, lmax, l_chunk[, ckpt_every]), so caching
+    them across processes is safe — they are the transform's "weights"."""
+    import os
+
+    d = os.environ.get("CORA_TPU_CACHE")
+    if d == "":
+        return None
+    if d is None:
+        d = os.path.join(os.path.expanduser("~"), ".cache", "cora_tpu")
+    try:
+        os.makedirs(d, exist_ok=True)
+        return d
+    except OSError:
+        return None
 
 
 def alm2map(alm, nside: int):

@@ -562,3 +562,27 @@ def test_pixel_layout_cg_analysis():
     err_ja = np.linalg.norm(a_ja[1:] - alm[1:]) / np.linalg.norm(alm[1:])
     assert err_cg < 1e-12
     assert err_cg < err_ja
+
+
+def test_lambda_device_build_matches_host():
+    """lambda_build="device" (on-accelerator Λ materialisation via the
+    scaled+checkpointed recurrence) matches the host f64-built chunks to
+    the scan-mode accuracy class, including non-divisible L tails."""
+    from cora_tpu.healpix.sht import SHT
+
+    for nside, lmax, lc in [(16, 47, 8), (16, 40, 8)]:
+        op_h = SHT(nside, lmax, l_chunk=lc, legendre_mode="cached")
+        op_d = SHT(nside, lmax, l_chunk=lc, legendre_mode="cached",
+                   lambda_build="device")
+        th, td = op_h.tables(False), op_d.tables(False)
+        for a, b in zip(th["lam"], td["lam"]):
+            a, b = np.asarray(a), np.asarray(b)
+            assert a.shape == b.shape
+            assert np.abs(a - b).max() < 5e-6 * np.abs(a).max()
+
+        rng = np.random.RandomState(3)
+        alm = _random_alm(rng, lmax).astype(np.complex64)
+        m_h = np.asarray(op_h.synthesis(jnp.asarray(alm)))
+        m_d = np.asarray(op_d.synthesis(jnp.asarray(alm)))
+        rms = np.sqrt(np.mean((m_h - m_d) ** 2) / np.mean(m_h**2))
+        assert rms < 3e-6  # within the 1e-5 map contract with margin
