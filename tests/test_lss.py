@@ -307,3 +307,34 @@ pipeline:
     assert m.map.shape == (8, 4, 768)
     assert np.isfinite(np.asarray(m.map)).all()
     assert (tmp_path / "lss_map_0.h5").exists()
+
+
+def test_sph_deposit_variants_match_scatter():
+    """window and offset deposits reproduce the scatter-add exactly
+    (different summation order only), including radial-outlier fallback
+    paths; overflow of the fallback capacity poisons with NaN rather
+    than dropping mass."""
+    import jax
+
+    from cora_tpu.ops import pmesh
+    from cora_tpu.healpix import pixel as hpx
+
+    nside = 32
+    npix = hpx.nside2npix(nside)
+    nchi = 8
+    rng = np.random.RandomState(1)
+    chi = np.linspace(1500.0, 1640.0, nchi)
+    for sig_r in (4.0, 25.0):  # 25: ~5% of particles exit the ±3-bin window
+        psi = (rng.standard_normal((3, nchi, npix)) * 0.01).astype(np.float32)
+        psi[0] = (rng.standard_normal((nchi, npix)) * sig_r).astype(np.float32)
+        db = (rng.standard_normal((nchi, npix)) * 0.3).astype(np.float32)
+        dm = (rng.standard_normal((nchi, npix)) * 0.3).astype(np.float32)
+        a = np.asarray(
+            pmesh.za_density_sph(psi, db, dm, chi, nside, deposit="scatter")
+        )
+        for dep in ("window", "offset"):
+            b = np.asarray(
+                pmesh.za_density_sph(psi, db, dm, chi, nside, deposit=dep)
+            )
+            assert np.isfinite(b).all()
+            assert np.abs(a - b).max() < 2e-6 * np.abs(a).max(), dep

@@ -28,6 +28,8 @@ p.add_argument("--nside", type=int, default=256)
 p.add_argument("--nchi", type=int, default=64)
 p.add_argument("--repeats", type=int, default=3)
 p.add_argument("--cpu", action="store_true")
+p.add_argument("--deposit", default="auto",
+               choices=["auto", "scatter", "window", "offset"])
 args = p.parse_args()
 
 if args.cpu:
@@ -49,7 +51,7 @@ print(f"# device: {jax.devices()[0]}  npix={npix} nchi={nchi}",
 # smooth random inputs (host): low-order harmonic fields, physical scales
 rng = np.random.RandomState(0)
 t0 = time.time()
-geom = pmesh.sph_geometry(nside)
+geom = pmesh.sph_geometry(nside, rings=True)
 chi = np.linspace(1500.0, 2500.0, nchi)
 th, ph = geom["angpos"]
 f32 = np.float32
@@ -85,7 +87,8 @@ print(f"# setup+transfer: {time.time()-t0:.1f}s", file=sys.stderr)
 
 @jax.jit
 def step(psi_, db_, dm_, g):
-    out = pmesh.za_density_sph(psi_, db_, dm_, chi_h, nside, geometry=g)
+    out = pmesh.za_density_sph(psi_, db_, dm_, chi_h, nside, geometry=g,
+                               deposit=args.deposit)
     return out, jnp.sum(jnp.abs(out))
 
 
@@ -111,6 +114,7 @@ particles = nchi * npix
 print(f"# times: {[f'{t:.2f}' for t in ts]}", file=sys.stderr)
 print(json.dumps({
     "metric": f"ZA SPH density (nside={nside} x {nchi} chi)",
+    "deposit": args.deposit,
     "value": round(dt, 3),
     "unit": "s",
     "particles_per_s": round(particles / dt / 1e6, 1),
