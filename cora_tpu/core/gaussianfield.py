@@ -123,3 +123,20 @@ class Cmb(RandomFieldA2):
     def powerspectrum(self, karray):
         k = (karray**2).sum(axis=2) ** 0.5
         return np.asarray(self._powerspectrum_int(np.maximum(k, 1e-30)))
+
+
+class TestF(RandomFieldA2F):
+    """Demo anisotropic Gaussian power spectrum on a map volume
+    (reference cora/core/gaussianfield.py:185): a 250-unit radial scale
+    times a 1-degree angular scale."""
+
+    def powerspectrum(self, karray):
+        from .. import constants
+
+        return np.exp(
+            -0.5 * (karray[..., 0] / (2 * np.pi / 250.0)) ** 2
+        ) * np.exp(
+            -0.5
+            * (karray[..., 1:3] ** 2).sum(axis=3)
+            / (2 * np.pi / (1.0 * constants.degree)) ** 2
+        )

@@ -31,6 +31,7 @@ from ..core import containers, skysim
 from ..healpix import pixel as hpx
 from ..healpix import transforms as hputil
 from ..ops import pmesh as pmesh_ops
+from ..ops.pmesh import za_density_sph  # parity re-export (ref lss.py:1305)
 from ..pipeline import (
     ConfigError,
     PipelineStopIteration,

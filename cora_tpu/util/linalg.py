@@ -97,3 +97,19 @@ def complex_std_normal(key, shape, dtype=jnp.float64):
     re = jax.random.normal(kr, shape, dtype=dtype)
     im = jax.random.normal(ki, shape, dtype=dtype)
     return (re + 1.0j * im) / jnp.sqrt(jnp.asarray(2.0, dtype=dtype))
+
+
+def save_ndarray_list(fname, la):
+    """Persist an ordered list of arrays (reference cora/util/nputil.py:12).
+
+    Stored as an npz keyed by the list index so `load_ndarray_list`
+    restores the exact ordering.
+    """
+    np.savez(fname, **{repr(i): v for i, v in enumerate(la)})
+
+
+def load_ndarray_list(fname):
+    """Load a list saved by :func:`save_ndarray_list`
+    (reference cora/util/nputil.py:30)."""
+    with np.load(fname) as d:
+        return [v for _, v in sorted(d.items(), key=lambda kv: int(kv[0]))]

@@ -175,3 +175,25 @@ def test_cli_foreground(tmp_path):
     assert res.exit_code == 0
     m = _check_map_schema(out, 4, 4, 16)
     assert m[:, 0].std() > 0
+
+
+def test_api_parity_audit():
+    """Every public reference symbol has a cora_tpu counterpart (or a
+    documented intentional absence) — tools/api_audit.py as a regression."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    ref = Path("/root/reference")
+    if not ref.exists():
+        import pytest
+
+        pytest.skip("reference checkout not available")
+    r = subprocess.run(
+        [sys.executable, str(root / "tools" / "api_audit.py"),
+         "--reference", str(ref)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "/" in r.stdout and "MISSING" not in r.stdout
