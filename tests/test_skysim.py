@@ -278,3 +278,38 @@ def test_bf16_xi_statistics():
     k = cl_meas.shape[0] * (2 * lb + 1)
     z_l = (t_per.sum(axis=0) - k) / np.sqrt(2 * k)
     assert np.abs(z_l).max() < 5.5, z_l
+
+
+def test_getsky_clarray_method_clfast():
+    """Corr21cm.getsky's C_l grid (clarray_method="clfast", the default)
+    matches brute-force channel integration where the reference-shaped
+    Romberg path errs by ~12% (high ell, band edge): ground-truth
+    adjudication of the two methods at the worst observed deviation."""
+    from cora_tpu.signal.corr21cm import Corr21cm
+    from cora_tpu.signal import clfast
+
+    m = Corr21cm()
+    m.nside = 32
+    m.nu_lower, m.nu_upper, m.nu_num = 400.0, 800.0, 16
+    nu = np.asarray(m.nu_pixels)
+    dnu = nu[1] - nu[0]
+    lmax = 3 * m.nside - 1
+
+    cf = np.asarray(m._clarray())
+    assert cf.shape == (lmax + 1, 16, 16)
+
+    # brute-force truth at low ell and at the worst regime (highest ell,
+    # lowest-frequency channel — where Romberg zromb=3 is ~12-21% off)
+    for l0, i0 in ((16, 8), (lmax, 0)):
+        sub = np.linspace(nu[i0] - dnu / 2, nu[i0] + dnu / 2, 129)
+        C = m.angular_powerspectrum(
+            np.full((1, 1, 1), l0), sub[None, :, None], sub[None, None, :]
+        )[0]
+        brute = np.trapezoid(np.trapezoid(C, sub, axis=1), sub) / dnu**2
+        assert abs(cf[l0, i0, i0] / brute - 1) < 3e-3, (l0, i0)
+
+    # the romberg escape hatch still runs (its accuracy at wide channels
+    # is the reference's, ~1e-1 class at this 25 MHz config — BASELINE.md)
+    m.clarray_method = "romberg"
+    cr = np.asarray(m._clarray(lmax))
+    assert cr.shape == cf.shape and np.isfinite(cr).all()
