@@ -70,6 +70,96 @@ def chunk_var(a):
     return t / a.size
 
 
+def _faraday_screen_device(op, t, key, ps_weight, nphi, corr_w, sig_grid,
+                           phifreq, pta):
+    """Faraday-screen polarisation as one device pipeline (grid layout).
+
+    Draws the φ-conjugate random screen (blocked batched complex
+    synthesis), applies the Gaussian φ-correlation, matmul-DFTs back into
+    Faraday depth (fftmm — long batched complex FFTs are rejected by the
+    axon TPU runtime), normalises to unit polarisation fraction, applies
+    the per-pixel Faraday-depth window, contracts with the φ→ν transfer
+    matrix on the MXU, and tanh-saturates.  Returns (Q, U) float32 grids
+    ``[nfreq, nring, W]``.
+
+    Replaces the reference's host numpy pipeline (galaxy.py:260-313: nphi
+    healpy SHT calls + an [npix, nphi]·[nphi, nfreq] complex matmul —
+    ~1e11 flops single-core).
+    """
+    from functools import partial
+
+    from ..healpix.sht import _synthesis_grid
+    from ..ops import fftmm
+    from ..util import xfer
+
+    L = op.lmax + 1
+    # block the φ-slice synthesis to bound the alm working set (≤256 MB)
+    block = 1
+    for b in (125, 100, 50, 40, 25, 20, 10, 8, 5, 4, 2):
+        if nphi % b == 0 and b * L * L * 8 <= 2**28:
+            block = b
+            break
+    nblk = nphi // block
+
+    li = np.arange(L)[:, None]
+    mi = np.arange(L)[None, :]
+    wmask = (ps_weight[:, None] * (mi <= li)).astype(np.float32)
+    wmask_d = xfer.put(wmask)
+    corr_d = xfer.put(np.asarray(corr_w, dtype=np.float32))
+    sig_d = xfer.put(np.asarray(sig_grid, dtype=np.float32))
+    phif_d = xfer.put(np.asarray(phifreq, dtype=np.float32))
+    pta_d = xfer.put(np.asarray(pta, dtype=np.complex64))
+    tabs = fftmm.dft_tables(nphi, dtype=np.complex64)
+    tinv = {k: xfer.put(v) for k, v in tabs["inv"].items()}
+    n1, n2 = tabs["n1n2"]
+
+    @jax.jit
+    def synth_blocks(key, wmask, t):
+        def blk(c, _):
+            ks = jax.random.split(jax.random.fold_in(key, c), 4)
+            shape = (block, L, L)
+            wr = (
+                jax.random.normal(ks[0], shape, jnp.float32)
+                + 1j * jax.random.normal(ks[1], shape, jnp.float32)
+            ) * wmask
+            wi = (
+                jax.random.normal(ks[2], shape, jnp.float32)
+                + 1j * jax.random.normal(ks[3], shape, jnp.float32)
+            ) * wmask
+            # each half-m alm synthesises a real field; the complex screen
+            # is synth(wr) + i·synth(wi) (statistically equivalent to the
+            # reference's full-m complex construction)
+            Sr = _synthesis_grid(op, t, wr.astype(jnp.complex64))
+            Si = _synthesis_grid(op, t, wi.astype(jnp.complex64))
+            return c + 1, jax.lax.complex(Sr, Si)
+
+        _, cube = jax.lax.scan(blk, 0, None, length=nblk)
+        return cube.reshape((nphi,) + cube.shape[2:])
+
+    @partial(jax.jit, donate_argnums=0)
+    def transfer(cube, corr_w, sig, phif, pta, W1, T, W2):
+        x = cube * corr_w[:, None, None]
+        x = jnp.transpose(x, (1, 2, 0))  # [nring, W, nphi]
+        x = fftmm._apply(x, dict(W1=W1, T=T, W2=W2), n1, n2) / nphi
+        mu = jnp.mean(x)
+        v = jnp.mean(jnp.abs(x - mu) ** 2)
+        x = x / (2.0 * jnp.sqrt(v))
+        w = jnp.exp(-0.25 * (phif[None, None, :] / sig[:, :, None]) ** 2)
+        x = x * (w / jnp.sum(w, axis=-1, keepdims=True))
+        y = jnp.einsum("rwp,pf->rwf", x, pta, precision="highest")
+        ya = jnp.abs(y)
+        y = y * jnp.tanh(ya) / jnp.where(ya == 0.0, 1.0, ya)
+        y = jnp.transpose(y, (2, 0, 1))  # [nfreq, nring, W]
+        return (
+            jnp.real(y).astype(jnp.float32),
+            jnp.imag(y).astype(jnp.float32),
+        )
+
+    cube = synth_blocks(key, wmask_d, t)
+    return transfer(cube, corr_d, sig_d, phif_d, pta_d,
+                    tinv["W1"], tinv["T"], tinv["W2"])
+
+
 class ConstrainedGalaxy(maps.Sky3d):
     """Realistic galactic synchrotron simulations constrained to Haslam.
 
@@ -189,6 +279,55 @@ class ConstrainedGalaxy(maps.Sky3d):
         return fgt
 
     @on_model_device
+    def _sigma_phi(self):
+        """Faraday-depth window widths: |RM| smoothed with a 10° beam.
+
+        Runs the smoothing transform pair on the accelerator in
+        ring-grid layout (the pixel-order gather path is not safe on
+        tunnelled TPU runtimes) — ~55 s of host f64 transforms become
+        sub-second device work; f32 is ample for a window-width map.
+        Cached per (skydata, nside): the input is fixed survey data.
+        """
+        cached = getattr(self, "_sigma_phi_cache", None)
+        if cached is not None and cached[0] == self.nside:
+            return cached[1]
+
+        from .. import native
+        from ..util import xfer
+        from ..util.compute import accel_device
+
+        fmap = np.abs(np.asarray(self._faraday))
+        ns_f = hpx.npix2nside(fmap.size)
+        # beam-limited band: the 10° Gaussian beam is < 4e-6 by ell = 5/σ,
+        # so the full 3·nside−1 analysis is pure waste (78 s → sub-second)
+        sig_beam = np.radians(10.0) / np.sqrt(8.0 * np.log(2.0))
+        lmax = min(3 * ns_f - 1, max(64, int(np.ceil(5.0 / sig_beam))))
+        info = hpx.ring_info(ns_f)
+        nring = info["nphi"].size
+        W = int(info["nphi"].max())
+        r_of = np.repeat(np.arange(nring), info["nphi"])
+        j_of = np.arange(fmap.size) - info["start"][r_of]
+        grid = np.zeros((nring, W), dtype=np.float32)
+        grid[r_of, j_of] = fmap
+
+        la = np.arange(lmax + 1, dtype=np.float64)
+        bl = np.exp(-0.5 * la * (la + 1.0) * sig_beam**2).astype(np.float32)
+
+        with accel_device():
+            op = _sht.get_sht(ns_f, lmax)
+            alm = op.analysis_grid(xfer.put(grid), iter=3)
+            alm = alm * xfer.put(bl)[:, None]
+            sm_grid = np.asarray(xfer.get(op.synthesis_grid(alm)))
+        sm = native.grid_to_pixels(
+            sm_grid[None],
+            info["start"].astype(np.int64),
+            info["nphi"].astype(np.int64),
+            fmap.size,
+        )[0]
+        out = hpx.ud_grade(sm.astype(np.float64), self.nside)
+        self._sigma_phi_cache = (self.nside, out)
+        return out
+
     def getpolsky(self, debug=False, celestial=True, key=None):
         """Realisation of the *polarised* sky [freq, pol, pixel] (K).
 
@@ -200,10 +339,7 @@ class ConstrainedGalaxy(maps.Sky3d):
         key = self._key(key)
         kI, kP = jax.random.split(key)
 
-        sigma_phi = hpx.ud_grade(
-            np.asarray(_sht.smoothing(np.abs(self._faraday), fwhm=np.radians(10.0))),
-            self.nside,
-        )
+        sigma_phi = self._sigma_phi()
 
         xiphi = 1.0
         lmax = 3 * self.nside - 1
@@ -220,56 +356,31 @@ class ConstrainedGalaxy(maps.Sky3d):
 
         npix = 12 * self.nside**2
 
-        # --- batched random complex maps in the phi-conjugate coordinate.
-        # The reference loops nphi inverse complex SHTs through healpy
-        # (galaxy.py:260-267); here: draw full-m alm noise for all nphi
-        # slices and run ONE batched complex synthesis on device.
+        # --- the whole Faraday screen runs ON DEVICE in ring-grid layout.
+        # The reference loops nphi=1000 inverse complex SHTs through healpy
+        # and then does the φ-window and the [npix, nphi]·[nphi, nfreq]
+        # transfer matmul in host numpy (galaxy.py:260-313) — ~1e11 complex
+        # flops single-core, the dominant cost of its polarised sky.  Here:
+        # batched draw + complex synthesis (blocked over φ slices), the
+        # φ-conjugate correlation, the matmul-DFT back into φ (fftmm — the
+        # axon runtime rejects long batched complex FFTs), the per-pixel
+        # Faraday-depth window, the φ→ν transfer einsum and the tanh
+        # saturation are one device pipeline; only the final [nfreq, Q/U]
+        # grids come back to host for the pixel reorder.
         ps_weight = (angular(la) / 2.0) ** 0.5
 
-        keys = jax.random.split(kP, 4)
-        L = lmax + 1
-        # real-field halves for real and imaginary map components
-        shape = (nphi, L, L)
-        wr = np.array(
-            jax.random.normal(keys[0], shape) + 1j * jax.random.normal(keys[1], shape)
-        )
-        wi = np.array(
-            jax.random.normal(keys[2], shape) + 1j * jax.random.normal(keys[3], shape)
-        )
-        # weight by sqrt(C_l/2) and mask to m <= l
-        li = np.arange(L)[:, None]
-        mi = np.arange(L)[None, :]
-        mask = (mi <= li).astype(np.float64)
-        wr *= ps_weight[:, None] * mask
-        wi *= ps_weight[:, None] * mask
-
-        # complex map = synth(wr) + i synth(wi); each synth treats its alm
-        # as an (m>=0) half of a real field — statistically equivalent to
-        # the reference's full-m complex construction.
-        op = _sht.get_sht(self.nside, lmax)
-        map_r = np.asarray(op.synthesis(jnp.asarray(wr)))
-        map_i = np.asarray(op.synthesis(jnp.asarray(wi)))
-        map2 = (map_r + 1j * map_i).T.copy()  # [npix, nphi]
-        del map_r, map_i, wr, wi
-
-        # Gaussian phi-correlation via the conjugate-space weighting
         pcfreq = np.fft.fftfreq(nphi, d=dphi)
-        map2 *= np.exp(-2 * (np.pi * xiphi * pcfreq[np.newaxis, :]) ** 2)
+        corr_w = np.exp(-2 * (np.pi * xiphi * pcfreq) ** 2)
 
-        # FFT back into phi (blocked, in place)
-        chunksize = max(npix // 12, 1)
-        for si in range(0, npix, chunksize):
-            map2[si : si + chunksize] = np.fft.ifft(
-                map2[si : si + chunksize], axis=1
-            )
-
-        map2 /= 2.0 * chunk_var(map2) ** 0.5
-
-        # per-pixel Faraday-depth window
-        w = np.exp(-0.25 * (phifreq[np.newaxis, :] / sigma_phi[:, np.newaxis]) ** 2)
-        w /= w.sum(axis=1)[:, np.newaxis]
-        map2 *= w
-        del w
+        # sigma_phi and the output live on the dense ring grid; pad cells
+        # (j >= ring length) get sigma 1 and are dropped at pixel reorder
+        info = hpx.ring_info(self.nside)
+        nring = info["nphi"].size
+        W = int(info["nphi"].max())
+        r_of = np.repeat(np.arange(nring), info["nphi"])
+        j_of = np.arange(npix) - info["start"][r_of]
+        sig_grid = np.ones((nring, W), dtype=np.float32)
+        sig_grid[r_of, j_of] = sigma_phi
 
         # phi -> frequency transfer matrix
         def ptrans(phi, freq, dfreq):
@@ -281,20 +392,33 @@ class ConstrainedGalaxy(maps.Sky3d):
         df = np.median(np.diff(fa))
         pta = ptrans(phifreq[:, np.newaxis], fa[np.newaxis, :], df) / dphi
 
-        map4 = np.dot(map2, pta)  # [npix, nfreq]
-        del map2
+        from .. import native
+        from ..util import xfer
+        from ..util.compute import accel_device
 
-        # tanh saturation of the polarisation fraction
-        map4a = np.abs(map4)
-        map4 = map4 * np.tanh(map4a) / np.where(map4a == 0, 1.0, map4a)
-        del map4a
+        # escape the model_device (CPU) region: the screen pipeline is
+        # accelerator-safe by construction (grid layout, xfer transfers,
+        # matmul DFTs, f32) and is where all the flops are
+        with accel_device():
+            op = _sht.get_sht(self.nside, lmax)
+            t = op.tables(False)
+            qu_re, qu_im = _faraday_screen_device(
+                op, t, kP, ps_weight, nphi, corr_w, sig_grid, phifreq, pta
+            )
+            qu_re = np.asarray(xfer.get(qu_re))
+            qu_im = np.asarray(xfer.get(qu_im))
+
+        start64 = info["start"].astype(np.int64)
+        nphi64 = info["nphi"].astype(np.int64)
+        map4_re = native.grid_to_pixels(qu_re, start64, nphi64, npix)
+        map4_im = native.grid_to_pixels(qu_im, start64, nphi64, npix)
 
         map5 = np.zeros((self.nu_num, 4, npix), dtype=np.float64)
         map5[:, 0] = self.getsky(celestial=False, key=kI)
-        map5[:, 1] = map4.real.T
-        map5[:, 2] = map4.imag.T
+        map5[:, 1] = map4_re
+        map5[:, 2] = map4_im
         map5[:, 1:3] *= map5[:, 0, np.newaxis, :]
-        del map4
+        del map4_re, map4_im
 
         if celestial:
             map5 = hputil.coord_g2c(map5)

@@ -1980,8 +1980,15 @@ class SHT:
         return bufs
 
     def tables(self, double: bool = False):
-        """Device table pytree at the requested precision (cached)."""
-        key = bool(double)
+        """Device table pytree at the requested precision (cached).
+
+        The cache is keyed by the current placement device as well: under
+        a ``jax.default_device`` context (e.g. util.compute.model_device)
+        the tables commit to that device, and reusing them later under a
+        different placement would silently pin the whole transform to the
+        wrong backend (or crash on mixed-device inputs).
+        """
+        key = (bool(double), str(jax.config.jax_default_device))
         if key in self._dev_tables:
             return self._dev_tables[key]
 
@@ -2177,7 +2184,6 @@ class SHT:
         return _map_to_rings(self, t, fmap, dtype)
 
 
-@lru_cache(maxsize=8)
 def get_sht(
     nside: int, lmax: int, l_chunk: int = 64, legendre_mode=None,
     fft_mode=None, lambda_build=None,
@@ -2192,8 +2198,15 @@ def get_sht(
     setup instead of a minutes-long host f64 build + multi-GB transfer;
     scan-accuracy class, within the 1e-5 map contract — pass
     lambda_build="host" for the exact f64-built reference tables).
+
+    Placement-aware: under a CPU ``jax.default_device`` context (e.g.
+    util.compute.model_device inside a TPU process) the CPU-appropriate
+    defaults apply, and a separate operator is cached for that placement.
     """
-    on_cpu = jax.default_backend() == "cpu"
+    dd = jax.config.jax_default_device
+    on_cpu = jax.default_backend() == "cpu" or (
+        dd is not None and getattr(dd, "platform", None) == "cpu"
+    )
     big = nside > 512
     if legendre_mode is None:
         legendre_mode = "scan" if (on_cpu or big) else "cached"
@@ -2201,6 +2214,15 @@ def get_sht(
         fft_mode = "xla" if on_cpu else "mm"
     if lambda_build is None:
         lambda_build = "host" if on_cpu else "device"
+    return _get_sht_cached(
+        nside, lmax, l_chunk, legendre_mode, fft_mode, lambda_build,
+        on_cpu,
+    )
+
+
+@lru_cache(maxsize=8)
+def _get_sht_cached(nside, lmax, l_chunk, legendre_mode, fft_mode,
+                    lambda_build, on_cpu):
     cdir = _user_cache_dir()
     ke = max(1, (nside // 512) ** 2)
     return SHT(

@@ -299,10 +299,14 @@ def coord_x2y(map_, x, y):
     vrot = vec @ rot
     theta, phi = pixel.vec2ang(vrot)
 
+    # interpolation geometry is shared by every map in the stack — compute
+    # the 4-pixel weights once instead of per map (a [freq, pol] cube is
+    # hundreds of maps)
+    pix, wgt = pixel.get_interp_weights(nside, theta, phi)
     flat = map_.reshape(-1, npix)
     out = np.empty_like(flat)
     for i in range(flat.shape[0]):
-        out[i] = pixel.get_interp_val(flat[i], theta, phi)
+        out[i] = (flat[i][pix] * wgt).sum(axis=0)
     return out.reshape(map_.shape)
 
 

@@ -25,6 +25,19 @@ def model_device():
         yield
 
 
+@contextlib.contextmanager
+def accel_device():
+    """Context: escape a :func:`model_device` region back onto the
+    accelerator (no-op on CPU backends).  ``jax.default_device`` only
+    changes op *placement*, so ``jax.devices()`` still lists the true
+    default backend's devices inside a model_device block."""
+    if jax.default_backend() == "cpu":
+        yield
+        return
+    with jax.default_device(jax.devices()[0]):
+        yield
+
+
 def on_model_device(fn):
     """Decorator form of :func:`model_device`."""
     import functools
