@@ -230,10 +230,19 @@ class ConstrainedGalaxy(maps.Sky3d):
         efreq = np.concatenate((np.array([408.0, 1420.0]), self.nu_pixels))
 
         cla = skysim.clarray(syn.angular_powerspectrum, lmax, efreq, zromb=0)
-        fg = skysim.mkfullsky(cla, self.nside, key=key)
 
-        sub408 = np.asarray(_sht.smoothing(fg[0], fwhm=np.radians(1.0)))
-        sub1420 = np.asarray(_sht.smoothing(fg[1], fwhm=np.radians(5.8)))
+        from ..util.compute import accel_device
+
+        # realisation + beam smoothings escape the model_device (CPU)
+        # region onto the accelerator: random SCK fields are statistical
+        # (f32 synthesis is exact-class for the 1e-5 contract) and the
+        # smoothed maps here are red-spectrum, where the beam-limited
+        # grid smoothing is few-1e-4 accurate (sht.smoothing_grid notes).
+        # The eigh-heavy constrained solve (mkconstrained) stays on host.
+        with accel_device():
+            fg = skysim.mkfullsky(cla, self.nside, key=key)
+            sub408 = _sht.smoothing_grid(fg[0], fwhm=np.radians(1.0))
+            sub1420 = _sht.smoothing_grid(fg[1], fwhm=np.radians(5.8))
 
         if self.spectral_map == "gsm":
             fgs = skysim.mkconstrained(cla, [(0, sub408), (1, sub1420)], self.nside)
@@ -243,17 +252,17 @@ class ConstrainedGalaxy(maps.Sky3d):
         sc = hpx.ud_grade(self._sp_ind[self.spectral_map], self.nside)
         am = hpx.ud_grade(self._amp_map, self.nside)
 
-        vm = np.asarray(_sht.smoothing(fg[0], sigma=np.radians(0.5)))
+        with accel_device():
+            vm = _sht.smoothing_grid(fg[0], sigma=np.radians(0.5))
         # variance in nside-16 super-pixels (reference galaxy.py:158);
         # clamp the window resolution so each window holds >= 4 pixels at
         # small model nside (a 1-pixel window has zero variance and the
         # amplitude normalisation below blows up)
         var_nside = min(16, self.nside // 2)
-        vm = np.asarray(
-            _sht.smoothing(
+        with accel_device():
+            vm = _sht.smoothing_grid(
                 map_variance(vm, var_nside) ** 0.5, sigma=np.radians(2.0)
             )
-        )
         # guard against degenerate variance/base maps (possible with the
         # synthetic skydata stand-ins at low nside): 0/0 here would seed
         # NaNs through the whole cube
@@ -292,38 +301,12 @@ class ConstrainedGalaxy(maps.Sky3d):
         if cached is not None and cached[0] == self.nside:
             return cached[1]
 
-        from .. import native
-        from ..util import xfer
         from ..util.compute import accel_device
 
-        fmap = np.abs(np.asarray(self._faraday))
-        ns_f = hpx.npix2nside(fmap.size)
-        # beam-limited band: the 10° Gaussian beam is < 4e-6 by ell = 5/σ,
-        # so the full 3·nside−1 analysis is pure waste (78 s → sub-second)
-        sig_beam = np.radians(10.0) / np.sqrt(8.0 * np.log(2.0))
-        lmax = min(3 * ns_f - 1, max(64, int(np.ceil(5.0 / sig_beam))))
-        info = hpx.ring_info(ns_f)
-        nring = info["nphi"].size
-        W = int(info["nphi"].max())
-        r_of = np.repeat(np.arange(nring), info["nphi"])
-        j_of = np.arange(fmap.size) - info["start"][r_of]
-        grid = np.zeros((nring, W), dtype=np.float32)
-        grid[r_of, j_of] = fmap
-
-        la = np.arange(lmax + 1, dtype=np.float64)
-        bl = np.exp(-0.5 * la * (la + 1.0) * sig_beam**2).astype(np.float32)
-
         with accel_device():
-            op = _sht.get_sht(ns_f, lmax)
-            alm = op.analysis_grid(xfer.put(grid), iter=3)
-            alm = alm * xfer.put(bl)[:, None]
-            sm_grid = np.asarray(xfer.get(op.synthesis_grid(alm)))
-        sm = native.grid_to_pixels(
-            sm_grid[None],
-            info["start"].astype(np.int64),
-            info["nphi"].astype(np.int64),
-            fmap.size,
-        )[0]
+            sm = _sht.smoothing_grid(
+                np.abs(np.asarray(self._faraday)), fwhm=np.radians(10.0)
+            )
         out = hpx.ud_grade(sm.astype(np.float64), self.nside)
         self._sigma_phi_cache = (self.nside, out)
         return out

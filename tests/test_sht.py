@@ -115,6 +115,36 @@ def test_smoothing_reduces_power():
     # the monopole is preserved up to quadrature error
     assert abs(sm.mean() - m.mean()) < 5e-3 * m.std()
 
+
+def test_smoothing_grid_matches_smoothing():
+    """smoothing_grid at full lmax reproduces pixel-path smoothing, and
+    supports a leading batch axis."""
+    rng = np.random.RandomState(8)
+    nside, lmax = 16, 31
+    alm = _random_alm(rng, lmax)
+    m = np.asarray(sht.alm2map(jnp.asarray(alm), nside))
+    ref = np.asarray(sht.smoothing(m, fwhm=0.3, iter=3))
+    # smoothing analyses at the full 3·nside−1 band; match it for the
+    # equality check (f32 grid path vs f64 pixel path)
+    full = 3 * nside - 1
+    got = sht.smoothing_grid(m, fwhm=0.3, iter=3, lmax=full)
+    assert np.max(np.abs(got - ref)) < 1e-4 * np.std(ref)
+
+    batch = np.stack([m, 2.0 * m])
+    gb = sht.smoothing_grid(batch, fwhm=0.3, iter=3, lmax=full)
+    assert gb.shape == batch.shape
+    assert np.max(np.abs(gb[0] - got)) < 1e-5 * np.std(ref)
+    assert np.max(np.abs(gb[1] - 2.0 * got)) < 1e-4 * np.std(ref)
+
+    # beam-limited default band: red-spectrum input, wide beam — the
+    # truncated analysis stays within a fraction of the smoothed signal
+    red = np.asarray(
+        sht.alm2map(jnp.asarray(alm * (1.0 / (1.0 + np.arange(lmax + 1))**2)[:, None]), nside)
+    )
+    ref_r = np.asarray(sht.smoothing(red, fwhm=0.5, iter=3))
+    got_r = sht.smoothing_grid(red, fwhm=0.5, iter=3)
+    assert np.max(np.abs(got_r - ref_r)) < 2e-2 * np.std(ref_r)
+
 def test_alm2map_der1():
     """alm2map_der1 returns [f, df/dθ, df/dφ/sinθ] (healpy convention),
     checked against analytic derivatives of Y_10 and Y_11."""
