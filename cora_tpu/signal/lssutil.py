@@ -135,38 +135,55 @@ def diff2(f: np.ndarray, x: np.ndarray, axis: int = -1) -> np.ndarray:
     return d2
 
 
-def laplacian(maps: np.ndarray, x: np.ndarray) -> np.ndarray:
+def laplacian(maps: np.ndarray, x: np.ndarray,
+              lmax: Optional[int] = None) -> np.ndarray:
     """Laplacian of a stack of HEALPix shells at radii x.
 
     Angular part via −l(l+1) in harmonic space, radial part by finite
     differences (reference lssutil.py:188-224).
+
+    The analysis band defaults to ℓ ≤ 2·nside, NOT healpy's 3·nside−1:
+    HEALPix pixel quadrature is exact-class only to ~2·nside, and the
+    −l(l+1) weighting amplifies the corner-band residual into
+    order-unity polar-cap artefacts (measured in tests/test_lssutil.py).
+    The LSS fields this operates on are steeply red, so the truncation
+    itself is negligible; pass lmax=3*nside-1 for reference-shaped
+    behaviour on arbitrary inputs.
     """
     maps = np.asarray(maps)
     nside = hpx.npix2nside(maps.shape[1])
-    lmax = 3 * nside - 1
+    if lmax is None:
+        lmax = 2 * nside
 
     alms = xfer.get(_sht.map2alm(maps, lmax, 3))
     ell = np.arange(lmax + 1)[:, None]
     alms *= -ell * (ell + 1)
 
-    d2 = np.asarray(_sht.alm2map(jnp.asarray(alms), nside))
+    # np.array (copy): jax device buffers view as read-only ndarrays
+    d2 = np.array(_sht.alm2map(jnp.asarray(alms), nside))
     d2 /= x[:, np.newaxis] ** 2
 
     d2 += diff2(maps, x, axis=0) + 2 * np.gradient(maps, x, axis=0) / x[:, np.newaxis]
     return d2
 
 
-def gradient(maps: np.ndarray, x: np.ndarray, grad0: bool = True) -> np.ndarray:
+def gradient(maps: np.ndarray, x: np.ndarray, grad0: bool = True,
+             lmax: Optional[int] = None) -> np.ndarray:
     """Gradient of a stack of HEALPix shells: [d/dr, dθ/r, dφ/(r sinθ)].
 
     The angular derivatives are one batched spin-1 synthesis: for a scalar
     field f, (∂θ f) + i (∂φ f / sinθ) = −Σ sqrt(l(l+1)) a_lm ₁Y_lm.
+
+    Analysis band defaults to ℓ ≤ 2·nside (see :func:`laplacian` — the
+    √(l(l+1)) weighting amplifies the above-2·nside quadrature residual
+    ~100× at the poles); pass lmax explicitly to override.
     """
     from ..healpix import spin as _spin
 
     maps = np.asarray(maps)
     nside = hpx.npix2nside(maps.shape[1])
-    lmax = 3 * nside - 1
+    if lmax is None:
+        lmax = 2 * nside
     nmaps = maps.shape[0]
 
     grad = np.zeros((3,) + maps.shape, dtype=maps.dtype)
