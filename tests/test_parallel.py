@@ -146,6 +146,28 @@ def test_synthesize_cube_sharded_scan_mode():
     assert np.abs(cube8 - ref).max() == 0.0
 
 
+@pytest.mark.slow
+def test_wide_virtual_mesh_16():
+    """The stretch program on a 16-device virtual mesh (2× the suite's).
+
+    Runs tools/virtual_mesh_wide.py in a subprocess (device count is fixed
+    at backend init, so a wider mesh needs a fresh interpreter): 2-D
+    (freq × band) scan-mode synthesis on 4×4 devices, checked against the
+    single-device streamed result."""
+    import subprocess
+    import sys
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "virtual_mesh_wide.py"),
+         "--nside", "32", "--nz", "16", "--devices", "16", "--mesh", "4x4"],
+        capture_output=True, text=True, timeout=540,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "WIDE-MESH OK" in r.stdout, r.stdout + r.stderr
+
+
 @requires_multi
 @pytest.mark.parametrize("mesh_shape,fchunk", [((2, 4), 4), ((4, 2), 2)])
 @pytest.mark.slow

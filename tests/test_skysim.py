@@ -218,6 +218,7 @@ def test_clfast_window_accuracy():
     assert nd.max() < 3e-2
 
 
+@pytest.mark.slow
 def test_bf16_xi_statistics():
     """bf16 white-noise draw (xi_dtype) keeps C_l recovery inside cosmic
     variance: the ~0.4% zero-mean quantization noise per xi value inflates
@@ -280,6 +281,7 @@ def test_bf16_xi_statistics():
     assert np.abs(z_l).max() < 5.5, z_l
 
 
+@pytest.mark.slow
 def test_getsky_clarray_method_clfast():
     """Corr21cm.getsky's C_l grid (clarray_method="clfast", the default)
     matches brute-force channel integration where the reference-shaped

@@ -73,6 +73,7 @@ def test_exact_cl_vs_bruteforce():
     assert abs(ex - br) / abs(br) < 1e-4
 
 
+@pytest.mark.slow
 def test_exact_cl_flat_sky_convergence():
     """Flat-sky (DCT) C_l converges to the exact curved-sky C_l as l grows."""
     from cora_tpu.signal.corr21cm import Corr21cm

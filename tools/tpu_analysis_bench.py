@@ -20,6 +20,7 @@ p = argparse.ArgumentParser()
 p.add_argument("--nside", type=int, default=256)
 p.add_argument("--nz", type=int, default=16)
 p.add_argument("--iter", type=int, default=3)
+p.add_argument("--method", default="jacobi", choices=["jacobi", "cg"])
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 if args.cpu:
@@ -31,7 +32,7 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(root_dir, ".jax_cach
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from cora_tpu.healpix.sht import (  # noqa: E402
-    SHT, _analysis_grid, _synthesis_grid,
+    SHT, _analysis_grid, _analysis_cg_grid, _synthesis_grid,
 )
 from cora_tpu.util import xfer  # noqa: E402
 
@@ -63,7 +64,10 @@ def synth(t, a):
 
 @jax.jit
 def ana(t, g):
-    a = _analysis_grid(op, t, g, args.iter)
+    if args.method == "cg":
+        a = _analysis_cg_grid(op, t, g, args.iter)
+    else:
+        a = _analysis_grid(op, t, g, args.iter)
     return a, jnp.sum(jnp.abs(a))
 
 
@@ -89,9 +93,10 @@ lb = 2 * nside
 numb = float(jnp.linalg.norm((a2 - alm_d)[:, :lb, 1:]))
 denb = float(jnp.linalg.norm(alm_d[:, :lb, 1:]))
 
+mtag = ("cg" if args.method == "cg" else "j") + str(args.iter)
 print(f"synthesis  (nz={nz}, nside={nside}): {dt_s:.3f} s "
       f"({dt_s/nz*1e3:.1f} ms/map)")
-print(f"analysis j{args.iter} (nz={nz}, nside={nside}): {dt_a:.3f} s "
+print(f"analysis {mtag} (nz={nz}, nside={nside}): {dt_a:.3f} s "
       f"({dt_a/nz*1e3:.1f} ms/map)")
 print(f"alm round-trip rel (full lmax, f32): {num/den:.3e}")
 print(f"alm round-trip rel (l <= 2 nside):   {numb/denb:.3e}")
