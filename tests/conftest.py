@@ -26,9 +26,9 @@ except RuntimeError:
 
 
 # --- test tiers -----------------------------------------------------------
-# Default tier: fast (< ~2 min on one core).  The long end-to-end tests are
-# marked `slow` and run with --runslow (or CORA_TPU_RUN_SLOW=1) — CI runs
-# both tiers.
+# Default tier: fast (~3 min on one otherwise-idle core; the heavyweight
+# validation tests are marked `slow`).  The slow tier runs with --runslow
+# (or CORA_TPU_RUN_SLOW=1) — CI runs both tiers.
 
 import pytest
 
