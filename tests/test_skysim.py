@@ -114,6 +114,37 @@ def test_mkconstrained():
     assert num < 1e-8 * np.abs(expect).max()
 
 
+def test_clfast_window_smoke():
+    """Fast-tier smoke of the production clfast C_l path: one diagonal
+    channel-integrated C_l vs a brute-force double integral (the full
+    grid/worst-point sweep is the slow-tier test_clfast_window_accuracy).
+    Keeps the C_l-accuracy contract visible in the default `pytest -q`
+    run (round-2 ADVICE)."""
+    from cora_tpu.signal.corr21cm import Corr21cm
+    from cora_tpu.signal import clfast
+
+    model = Corr21cm()
+    # shrink the DCT lookup grid (500x32768 in production) — accuracy at a
+    # single moderate-l diagonal point survives a 4x coarser table and the
+    # build cost drops ~10x, keeping this in the fast tier
+    model._nkperp = 120
+    model._nkpar = 8192
+    model._kparmax = 10.0
+    nf, l = 8, 32
+    freqs = np.linspace(420.0, 470.0, nf)
+    dnu = freqs[1] - freqs[0]
+    tables = clfast.build_cl_tables(model, freqs, freq_width=dnu,
+                                    dtype=np.float64)
+    cla_fast = clfast.cl_grid_np(tables, l)
+
+    sub = np.linspace(freqs[0] - dnu / 2, freqs[0] + dnu / 2, 65)
+    C = model.angular_powerspectrum(
+        np.full((1, 1, 1), l), sub[None, :, None], sub[None, None, :]
+    )[0]
+    brute = np.trapezoid(np.trapezoid(C, sub, axis=1), sub) / dnu**2
+    assert abs(cla_fast[l, 0, 0] / brute - 1) < 3e-3
+
+
 @pytest.mark.slow
 def test_clfast_matches_host():
     """Device C_l fast path must match the host aps evaluation (no window)."""

@@ -8,7 +8,9 @@ frequency axis plus a ring-band model-parallel axis) — on a 16-device
 virtual CPU mesh, twice as wide as the 8-device mesh the test suite and
 the driver dryrun use.
 
-Checks bit-class equality against the unsharded streamed synthesis and
+Checks agreement with the unsharded streamed synthesis to ~1e-6 relative
+(f32 reduction-order differences from the band all-gather; the 1-D
+frequency sharding is exactly bit-equal, see tests/test_parallel.py) and
 prints the mesh/shard layout and wall time.  Usage:
 
     python tools/virtual_mesh_wide.py [--nside 128] [--nz 16] \
@@ -97,7 +99,7 @@ ref = np.concatenate(
 print(f"# single-device streamed reference: {time.time()-t0:.1f}s")
 
 cube = np.asarray(cube)
-err = np.abs(cube - ref).max() / max(1.0, np.abs(ref).max())
+err = np.abs(cube - ref).max() / max(np.abs(ref).max(), 1e-30)
 print(f"max rel deviation vs single-device: {err:.3e}")
 assert cube.shape == ref.shape
 assert err < 1e-6, err
