@@ -648,7 +648,11 @@ def _build_lambda_device(op, fdt=np.float32):
     for ci, (p, sub_lo, _, _) in enumerate(meta):
         cidx[(p, sub_lo // lc)] = ci
 
-    m_arr = jnp.arange(L)
+    # NOTE: np, not jnp — an eager device array captured in the closure
+    # becomes a lowering-time trace CONSTANT whose value jax fetches D2H;
+    # over the tunnelled runtime that one fetch measured 62 s of the 97 s
+    # tables() cold start (tools/coldstart_profile.py).
+    m_arr = np.arange(L)
 
     def build(rec_a, rec_b, lam_mm, k0_d, z, ck):
         outs = [jnp.zeros((mw, nrows, nh), fdt) for (_, _, nrows, mw) in meta]

@@ -20,6 +20,26 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def shard_map_compat(f, **kw):
+    """``jax.shard_map`` across the jax 0.8 API move.
+
+    jax >= 0.8 renamed the replication check argument (check_rep →
+    check_vma) and moved shard_map out of experimental; older versions
+    keep the experimental module.  All callers here pass ``check_rep``.
+    """
+    try:
+        from jax import shard_map as _shard_map
+
+        rep = kw.pop("check_rep", None)
+        if rep is not None:
+            kw["check_vma"] = rep
+        return _shard_map(f, **kw)
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        return _shard_map(f, **kw)
+
+
 def make_mesh(n_devices=None, axis_name="freq", devices=None):
     """Create a 1-D device mesh over the synthesis axis."""
     if devices is None:
@@ -114,17 +134,7 @@ def synthesize_cube_sharded(
     """
     from functools import partial
 
-    try:  # jax >= 0.8 moved shard_map out of experimental
-        from jax import shard_map as _shard_map
-
-        def shard_map(f, **kw):
-            rep = kw.pop("check_rep", None)
-            if rep is not None:
-                kw["check_vma"] = rep
-            return _shard_map(f, **kw)
-
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    shard_map = shard_map_compat
     from ..healpix.sht import synthesis_scan_correlated
 
     n_dev = mesh.shape[mesh_axis]
@@ -209,18 +219,7 @@ def synthesize_cube_sharded_2d(
     """
     from functools import partial
 
-    try:  # jax >= 0.8 moved shard_map out of experimental
-        from jax import shard_map as _shard_map
-
-        def shard_map(f, **kw):
-            rep = kw.pop("check_rep", None)
-            if rep is not None:
-                kw["check_vma"] = rep
-            return _shard_map(f, **kw)
-
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
-
+    shard_map = shard_map_compat
     from ..healpix.sht import (
         _correlated_GeGo_scan,
         _expand_rings,

@@ -74,6 +74,42 @@ def _ps_path(name):
     return Path(_DATA_DIR) / f"ps_{name}.npz"
 
 
+class MeshTaskMixin:
+    """Opt-in device-mesh sharding for the LSS pipeline tasks.
+
+    The reference's LSS chain is MPI-distributed implicitly through
+    mpiarray (cora/signal/lss.py:441-474, 806-811, 1202, 1287); here the
+    equivalent is explicit: set ``mesh_devices`` in the task config to
+    shard the hot stages over a 1-D device mesh via
+    :mod:`cora_tpu.parallel.lss`.
+
+    mesh_devices : 0 (default) single-device; −1 all local devices;
+    n > 1 a mesh over the first n devices.  The size is reduced to the
+    largest value dividing the task's radial row count (the sharded
+    programs require even splits); 1 falls back to the unsharded path.
+    """
+
+    mesh_devices = Property(proptype=int, default=0)
+
+    def _get_mesh(self, n_rows: int, min_per_device: int = 1):
+        n = self.mesh_devices or 0
+        if not n:
+            return None
+        from ..parallel.mesh import make_mesh
+
+        avail = len(jax.devices())
+        n = avail if n < 0 else min(int(n), avail)
+        # shard_map programs with halo exchange need >= min_per_device
+        # local rows (za_density_sph_sharded's single ppermute hop only
+        # reaches immediate neighbours)
+        n = min(n, max(1, n_rows // max(1, min_per_device)))
+        while n > 1 and n_rows % n:
+            n -= 1
+        if n <= 1:
+            return None
+        return make_mesh(n)
+
+
 class CalculateCorrelations(Task):
     """Density/potential correlation functions from a power spectrum.
 
@@ -260,11 +296,14 @@ class CalculateMultiFrequencyAngularPowerSpectrum(Task):
         return out_cont
 
 
-class GenerateInitialLSSFromCl(Task):
+class GenerateInitialLSSFromCl(MeshTaskMixin, Task):
     """Realise initial (phi, delta) fields from an angular power spectrum.
 
     Builds the 2Nz×2Nz joint covariance per ell and draws correlated maps
-    with the device synthesis engine (reference lss.py:376-478).
+    with the device synthesis engine (reference lss.py:376-478).  With
+    ``mesh_devices`` set the draw runs ℓ-sharded and the SHT chi-sharded
+    (the reference's MPI layout, lss.py:441-474) via
+    :func:`cora_tpu.parallel.lss.initial_lss_sharded`.
     """
 
     nside = Property(proptype=int, default=None)
@@ -304,7 +343,18 @@ class GenerateInitialLSSFromCl(Task):
         cla[:, :nz, :nz] = self.aps.Cl_phi_phi
 
         self.log.info(f"Generating realisation of fields using seed {self.seed}")
-        sky = skysim.mkfullsky(cla, self.nside, key=jax.random.PRNGKey(self.seed))
+        mesh = self._get_mesh(2 * nz)
+        if mesh is not None:
+            from ..parallel.lss import initial_lss_sharded
+
+            self.log.info(f"Drawing on a {mesh.shape} device mesh")
+            sky = initial_lss_sharded(
+                cla, self.nside, jax.random.PRNGKey(self.seed), mesh
+            )
+        else:
+            sky = skysim.mkfullsky(
+                cla, self.nside, key=jax.random.PRNGKey(self.seed)
+            )
 
         kwargs = {}
         if "freq" in self.aps.index_map:
@@ -435,7 +485,7 @@ class GeneratePolynomialBias(GenerateBiasedFieldBase):
         return self.alpha_b * bias + self.alpha_b - 1.0
 
 
-class DynamicsBase(Task):
+class DynamicsBase(MeshTaskMixin, Task):
     """Base for the dynamics tasks mapping biased fields to final fields."""
 
     redshift_space = Property(proptype=bool, default=True)
@@ -473,15 +523,37 @@ class ZeldovichDynamics(DynamicsBase):
     """
 
     sph = Property(proptype=bool, default=True)
+    mesh_halo = Property(proptype=int, default=4)
 
     def process(self, initial_field: InitialLSS, biased_field: BiasedLSS) -> BiasedLSS:
         self._validate_fields(initial_field, biased_field)
         c, nside, _, chi, za = self._get_props(biased_field)
 
+        D = c.growth_factor(za) / c.growth_factor(0)
+
+        mesh = self._get_mesh(len(chi), min_per_device=self.mesh_halo)
+        if self.sph and mesh is not None:
+            from ..parallel.lss import zeldovich_sharded
+
+            self.log.info(f"Zel'dovich step on a {mesh.shape} device mesh")
+            final_field = BiasedLSS(axes_from=biased_field, attrs_from=biased_field)
+            out = zeldovich_sharded(
+                initial_field.phi,
+                initial_field.delta,
+                biased_field.delta,
+                chi,
+                D,
+                c.growth_rate(za),
+                nside,
+                mesh,
+                redshift_space=self.redshift_space,
+                halo=self.mesh_halo,
+            )
+            final_field.delta[:] = np.asarray(out)
+            return final_field
+
         # displacement field psi = grad phi
         vpsi = lssutil.gradient(initial_field.phi, chi, grad0=True)
-
-        D = c.growth_factor(za) / c.growth_factor(0)
         vpsi *= D[np.newaxis, :, np.newaxis]
 
         theta, _ = hputil.ang_positions(nside).T
@@ -527,6 +599,24 @@ class LinearDynamics(DynamicsBase):
         final_field = BiasedLSS(axes_from=biased_field, attrs_from=biased_field)
 
         D = c.growth_factor(za) / c.growth_factor(0)
+
+        mesh = self._get_mesh(len(chi))
+        if mesh is not None:
+            from ..parallel.lss import linear_dynamics_sharded
+
+            self.log.info(f"Linear dynamics on a {mesh.shape} device mesh")
+            frD = D * c.growth_rate(za) if self.redshift_space else None
+            out = linear_dynamics_sharded(
+                initial_field.phi,
+                initial_field.delta,
+                biased_field.delta,
+                chi,
+                D,
+                frD,
+                mesh,
+            )
+            final_field.delta[:] = np.asarray(out)
+            return final_field
 
         final_field.delta[:] = biased_field.delta
         # Lagrangian bias = Eulerian − 1: add the growth-scaled initial delta
@@ -588,7 +678,7 @@ class BiasedLSSToMap(Task):
         return m
 
 
-class FingersOfGod(Task):
+class FingersOfGod(MeshTaskMixin, Task):
     r"""Radial exponential smoothing approximating Fingers of God.
 
     Equivalent to a squared-Lorentzian suppression in k-space; one matmul
@@ -646,6 +736,23 @@ class FingersOfGod(Task):
 
         smoothed_field = field.__class__(axes_from=field, attrs_from=field)
 
+        mesh = self._get_mesh(len(chi))
+        if mesh is not None:
+            from ..parallel.lss import fog_sharded
+
+            self.log.info(f"FoG matmul on a {mesh.shape} device mesh")
+            if isinstance(field, BiasedLSS):
+                smoothed_field.delta[:] = np.asarray(
+                    fog_sharded(K, field.delta, mesh)
+                )
+            else:
+                n_freq = len(field.freq)
+                flat = field.map.reshape(n_freq, -1)
+                smoothed_field.map[:] = np.asarray(
+                    fog_sharded(K, flat, mesh)
+                ).reshape(field.map.shape)
+            return smoothed_field
+
         if isinstance(field, BiasedLSS):
             smoothed_field.delta[:] = np.asarray(K_d @ jnp.asarray(field.delta))
         else:
@@ -656,12 +763,18 @@ class FingersOfGod(Task):
         return smoothed_field
 
 
-class AddCorrelatedShotNoise(RandomTask):
+class AddCorrelatedShotNoise(MeshTaskMixin, RandomTask):
     """Add a correlated shot-noise realisation to each input field.
 
     The seed is derived deterministically from the content of the common
     InitialLSS field (adler32 hash; reference lss.py:1256-1263) so that all
     tasks sharing it generate identical shot noise.
+
+    With ``mesh_devices`` set, the fill is chi-sharded through the keyed
+    device RNG (:func:`cora_tpu.parallel.lss.shot_noise_sharded`): the
+    realisation is identical on ANY mesh size (jax.random bits are a pure
+    function of key and position) but differs from the host numpy stream
+    of the unsharded path.
     """
 
     n_eff = Property(proptype=float, default=None)
@@ -692,9 +805,25 @@ class AddCorrelatedShotNoise(RandomTask):
         volume = pixarea * (ichi**2) * lssutil.calculate_width(ichi)
         std = (volume * self._n_eff_z) ** -0.5
 
-        shot_noise = self.rng.normal(
-            scale=std[:, np.newaxis], size=input_field.delta.shape
-        )
+        mesh = self._get_mesh(len(ichi))
+        if mesh is not None:
+            from ..parallel.lss import shot_noise_sharded
+
+            self.log.info(f"Shot-noise fill on a {mesh.shape} device mesh")
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            shot_noise = np.asarray(
+                shot_noise_sharded(
+                    jax.random.PRNGKey(self.seed),
+                    std,
+                    input_field.delta.shape,
+                    mesh,
+                    dtype=dtype,
+                )
+            )
+        else:
+            shot_noise = self.rng.normal(
+                scale=std[:, np.newaxis], size=input_field.delta.shape
+            )
         input_field.delta[:] += shot_noise
         return input_field
 

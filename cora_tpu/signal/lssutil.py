@@ -135,6 +135,76 @@ def diff2(f: np.ndarray, x: np.ndarray, axis: int = -1) -> np.ndarray:
     return d2
 
 
+def diff2_matrix(x: np.ndarray) -> np.ndarray:
+    """The :func:`diff2` stencil as a dense [n, n] matrix.
+
+    ``diff2_matrix(x) @ f == diff2(f, x, axis=0)`` (same coefficients;
+    only the summation order differs).  Radial operators expressed as
+    matrices apply as one pixel-sharded MXU matmul on a device mesh —
+    the TPU-native form of the reference's pixel-redistributed radial
+    derivative loops (cora/signal/lss.py:886).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    D = np.zeros((n, n))
+
+    i = np.arange(2, n - 1)
+    dm2 = x[i] - x[i - 2]
+    dm1 = x[i] - x[i - 1]
+    dp1 = x[i + 1] - x[i]
+    alpha = 2 * (dp1 - dm1) / (dm2 * (dm2 + dp1) * (dm2 - dm1))
+    beta = 2 * (dm2 - dp1) / (dm1 * (dm2 - dm1) * (dm1 + dp1))
+    gamma = 2 * (dm2 + dm1) / (dp1 * (dm1 + dp1) * (dm2 + dp1))
+    D[i, i - 2] = alpha
+    D[i, i - 1] = beta
+    D[i, i] = -(alpha + beta + gamma)
+    D[i, i + 1] = gamma
+
+    dp1, dp2, dp3 = x[1] - x[0], x[2] - x[0], x[3] - x[0]
+    D[0, 0] = 2 * (dp1 + dp2 + dp3) / (dp1 * dp2 * dp3)
+    D[0, 1] = -2 * (dp2 + dp3) / (dp1 * (dp1 - dp2) * (dp1 - dp3))
+    D[0, 2] = 2 * (dp1 + dp3) / ((dp1 - dp2) * dp2 * (dp2 - dp3))
+    D[0, 3] = 2 * (dp1 + dp2) / ((dp1 - dp3) * dp3 * (-dp2 + dp3))
+
+    dm1, dp1, dp2 = x[1] - x[0], x[2] - x[1], x[3] - x[1]
+    D[1, 0] = 2 * (dp1 + dp2) / (dm1 * (dm1 + dp1) * (dm1 + dp2))
+    D[1, 1] = 2 * (dm1 - dp1 - dp2) / (dm1 * dp1 * dp2)
+    D[1, 2] = 2 * (dm1 - dp2) / (dp1 * (dm1 + dp1) * (dp1 - dp2))
+    D[1, 3] = -2 * (dm1 - dp1) / ((dp1 - dp2) * dp2 * (dm1 + dp2))
+
+    dm1, dm2, dm3 = x[-1] - x[-2], x[-1] - x[-3], x[-1] - x[-4]
+    D[-1, -4] = 2 * (dm1 + dm2) / ((dm1 - dm3) * dm3 * (-dm2 + dm3))
+    D[-1, -3] = 2 * (dm1 + dm3) / ((dm1 - dm2) * dm2 * (dm2 - dm3))
+    D[-1, -2] = -2 * (dm2 + dm3) / (dm1 * (dm1 - dm2) * (dm1 - dm3))
+    D[-1, -1] = 2 * (dm1 + dm2 + dm3) / (dm1 * dm2 * dm3)
+    return D
+
+
+def gradient_matrix(x: np.ndarray) -> np.ndarray:
+    """``np.gradient(f, x, axis=0)`` as a dense [n, n] matrix.
+
+    Second-order interior stencil on the non-uniform grid, first-order
+    one-sided edges (numpy's edge_order=1 default) — the radial part of
+    :func:`gradient` as one pixel-sharded matmul.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    G = np.zeros((n, n))
+
+    i = np.arange(1, n - 1)
+    hd = x[i] - x[i - 1]
+    hs = x[i + 1] - x[i]
+    G[i, i - 1] = -hs / (hd * (hd + hs))
+    G[i, i] = (hs - hd) / (hs * hd)
+    G[i, i + 1] = hd / (hs * (hd + hs))
+
+    G[0, 0] = -1.0 / (x[1] - x[0])
+    G[0, 1] = 1.0 / (x[1] - x[0])
+    G[-1, -2] = -1.0 / (x[-1] - x[-2])
+    G[-1, -1] = 1.0 / (x[-1] - x[-2])
+    return G
+
+
 def laplacian(maps: np.ndarray, x: np.ndarray,
               lmax: Optional[int] = None) -> np.ndarray:
     """Laplacian of a stack of HEALPix shells at radii x.
