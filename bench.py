@@ -99,6 +99,14 @@ def main():
                         "recurrence (seconds; ~1e-6 map RMS class), 'host' "
                         "runs the exact f64 host build + multi-GB transfer "
                         "(minutes; ~2e-7)")
+    p.add_argument("--sims", type=int, default=1,
+                   help="batched realisations per step (vmap over keys): "
+                        "the covariance roots and Λ table are read once "
+                        "per sweep for B cubes of work (reference DP "
+                        "analogue: lss.py num_sims)")
+    p.add_argument("--roofline", action="store_true",
+                   help="also time draw/legendre/ring stages separately "
+                        "and report minimum HBM bytes + achieved GB/s")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -144,6 +152,7 @@ def main():
     os.makedirs(cache_dir, exist_ok=True)
     roots_path = os.path.join(cache_dir, f"roots_{nside}_{nfreq}.npy")
 
+    setup = {}
     t0 = time.time()
     if os.path.exists(roots_path):
         roots = np.load(roots_path)
@@ -169,6 +178,7 @@ def main():
         np.save(roots_path, roots)
         print(f"# covariance roots (host eigh): {time.time()-t0:.1f}s",
               file=sys.stderr)
+    setup["roots_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
     op = SHT(nside, lmax, legendre_mode=args.legmode, fft_mode="mm",
@@ -181,7 +191,8 @@ def main():
                  cache_dir, f"lam_{nside}_{args.lchunk}.npz"))
     sht_tables = xfer.put_tree(op.tables(False))
     roots_d = xfer.put(roots)
-    print(f"# SHT tables setup+transfer: {time.time()-t0:.1f}s", file=sys.stderr)
+    setup["sht_s"] = round(time.time() - t0, 1)
+    print(f"# SHT tables setup+transfer: {setup['sht_s']}s", file=sys.stderr)
 
     fchunk = min(args.fchunk, nfreq)
     # default Legendre-stage width: all frequencies when the working set
@@ -199,25 +210,42 @@ def main():
     # a scalar on device.  The full alm cube never materialises in HBM.
     xi_dtype = jnp.bfloat16 if args.xi == "bf16" else jnp.float32
 
-    @jax.jit
-    def step_fn(key, r, t):
+    def _one(key, r, t):
         return synthesis_scan_correlated(
             op, t, r, key, fleg, fchunk,
             lambda g, z, acc: acc + jnp.sum(jnp.abs(g)), jnp.float32(0.0),
             xi_dtype=xi_dtype,
         )
 
-    def step(key):
-        return float(step_fn(key, roots_d, sht_tables))
+    if args.sims > 1:
+        # batched throughput mode: vmap over keys — XLA batches the draw
+        # and Legendre matmuls, so roots/Λ stream from HBM once per sweep
+        # for `sims` cubes of MXU work (the reference's num_sims DP loop,
+        # lss.py:394, as one device program)
+        step_fn = jax.jit(jax.vmap(_one, in_axes=(0, None, None)))
 
-    # rbg PRNG: XLA's hardware RngBitGenerator — ~10x faster normals than
-    # threefry on TPU (the draw stage is RNG-bound at the flagship size)
-    def bench_key(i):
-        return jax.random.key(i, impl="rbg")
+        def step(key):
+            return float(step_fn(key, roots_d, sht_tables).sum())
 
+        def bench_key(i):
+            base = jax.random.key(i, impl="rbg")
+            return jax.random.split(base, args.sims)
+    else:
+        step_fn = jax.jit(_one)
+
+        def step(key):
+            return float(step_fn(key, roots_d, sht_tables))
+
+        def bench_key(i):
+            return jax.random.key(i, impl="rbg")
+
+    # rbg PRNG (bench_key): XLA's hardware RngBitGenerator — ~10x faster
+    # normals than threefry on TPU (the draw is RNG-bound at flagship size)
     t0 = time.time()
     s = step(bench_key(0))
-    print(f"# warmup (incl. compile): {time.time()-t0:.1f}s sum={s:.3e}", file=sys.stderr)
+    setup["warmup_s"] = round(time.time() - t0, 1)
+    print(f"# warmup (incl. compile): {setup['warmup_s']}s sum={s:.3e}",
+          file=sys.stderr)
 
     times = []
     for i in range(args.repeats):
@@ -226,6 +254,75 @@ def main():
         times.append(time.time() - t0)
     best = min(times)
     print(f"# times: {['%.2f' % t for t in times]}", file=sys.stderr)
+    if args.sims > 1:
+        print(f"# {args.sims} sims/step -> {best/args.sims:.3f} s/cube, "
+              f"{args.sims/best:.2f} cubes/s", file=sys.stderr)
+
+    # --- per-stage roofline (VERDICT r2 item 5) -------------------------
+    # Times cumulative programs (draw; draw+legendre; full step) and
+    # reports per-stage time by subtraction, minimum HBM bytes
+    # (_stage_bytes) and achieved GB/s.  Subtraction is approximate when
+    # XLA overlaps stages — overlap makes the full step FASTER than the
+    # sum, so per-stage GB/s here are conservative.
+    stages = None
+    if args.roofline and args.legmode == "cached" and args.sims == 1:
+        from jax import lax
+        from cora_tpu.healpix.sht import (
+            _make_split_draw_blk, _correlated_GeGo,
+        )
+
+        L_ = lmax + 1
+        ne = (L_ + 1) // 2
+        meta = op._lam_meta
+        roots_p = jnp.concatenate([roots_d[0::2], roots_d[1::2]], axis=0)
+
+        @jax.jit
+        def draw_only(key, r, t):
+            def sweep(i, acc):
+                blk = _make_split_draw_blk(
+                    r, key, i * fleg, fleg, nfreq, xi_dtype
+                )
+                for c, (parity, sub_lo, nrows, _) in enumerate(meta):
+                    mw = min(t["lam"][c].shape[0], L_)
+                    off = sub_lo + (0 if parity == 0 else ne)
+                    acc = acc + jnp.sum(jnp.abs(blk(c, off, nrows, mw)))
+                return acc
+            return lax.fori_loop(0, nfreq // fleg, sweep, jnp.float32(0.0))
+
+        @jax.jit
+        def draw_leg(key, r, t):
+            def sweep(i, acc):
+                Ge, Go = _correlated_GeGo(
+                    op, t, r, key, i * fleg, fleg, xi_dtype
+                )
+                return acc + jnp.sum(jnp.abs(Ge)) + jnp.sum(jnp.abs(Go))
+            return lax.fori_loop(0, nfreq // fleg, sweep, jnp.float32(0.0))
+
+        def _time(fn):
+            fn(bench_key(0), roots_p, sht_tables).block_until_ready()
+            ts = []
+            for i in range(2):
+                t0 = time.time()
+                fn(bench_key(i + 1), roots_p, sht_tables).block_until_ready()
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        t_draw = _time(draw_only)
+        t_dl = _time(draw_leg)
+        t_leg = max(t_dl - t_draw, 1e-4)
+        t_ring = max(best - t_dl, 1e-4)
+        parts = _analytic_parts(op, nfreq, fleg)
+        sbytes = _stage_bytes(op, sht_tables, nfreq, fleg, fchunk)
+        stages = {}
+        for name, ts in [("draw", t_draw), ("legendre", t_leg),
+                         ("ring", t_ring)]:
+            stages[name] = {
+                "s": round(ts, 3),
+                "gbytes_min": round(sbytes[name] / 1e9, 2),
+                "gbps": round(sbytes[name] / 1e9 / ts, 1),
+                "tflops": round(parts[name] / ts / 1e12, 2),
+            }
+        print(f"# roofline: {stages}", file=sys.stderr)
 
     # --- FLOP accounting → MFU (VERDICT r1 item 10) ---------------------
     # Prefer XLA's own count of the compiled program; fall back to the
@@ -241,7 +338,7 @@ def main():
     except Exception as e:  # pragma: no cover - backend-dependent
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
     if not flops:
-        flops = _analytic_flops(op, nfreq, fleg)
+        flops = _analytic_flops(op, nfreq, fleg) * args.sims
         src = "analytic"
     else:
         src = "xla"
@@ -255,15 +352,32 @@ def main():
     peak = next((v for k, v in peaks.items() if k.lower() in kind.lower()),
                 197e12 if "tpu" in kind.lower() else None)
     tflops = flops / best / 1e12
+    per_cube = best / args.sims
     out = {
         "metric": f"full 21cm cube synth (Nside={nside} x {nfreq} freq)",
-        "value": round(best, 3),
+        "value": round(per_cube, 3),
         "unit": "s",
-        "vs_baseline": round(5.0 / best, 3),
+        "vs_baseline": round(5.0 / per_cube, 3),
         "tflops": round(tflops, 3),
         "flops": int(flops),
         "flops_source": src,
+        "setup": setup,
     }
+    if args.sims > 1:
+        out["sims"] = args.sims
+        out["cubes_per_s"] = round(args.sims / best, 3)
+    if stages is not None:
+        out["stages"] = stages
+        hbm_peaks = {  # GB/s per chip
+            "TPU v5e": 819.0, "TPU v5 lite": 819.0, "TPU v4": 1228.0,
+            "TPU v5p": 2765.0, "TPU v6e": 1640.0, "TPU v6 lite": 1640.0,
+        }
+        hbm = next(
+            (v for k, v in hbm_peaks.items() if k.lower() in kind.lower()),
+            None,
+        )
+        if hbm:
+            out["hbm_peak_gbps"] = hbm
     if peak:
         # NOTE precision="highest" f32 einsums run ~3 bf16 MXU passes per
         # logical MAC on TPU, so the hardware does ~3x `flops`; mfu here
@@ -274,8 +388,8 @@ def main():
     print(json.dumps(out))
 
 
-def _analytic_flops(op, nfreq, fleg):
-    """Logical real-FLOP count of one full-cube step (all three stages).
+def _analytic_parts(op, nfreq, fleg):
+    """Per-stage logical real-FLOP count of one full-cube step.
 
     Convention: one real multiply-add = 2 flops; real λ × complex a_lm
     MAC = 4; complex × complex MAC = 8.
@@ -300,7 +414,48 @@ def _analytic_flops(op, nfreq, fleg):
     n1, n2 = op._fft2_n1n2
     nring = 4 * op.nside - 1
     ring = 2 * 8.0 * nring * op.nfft2 * (n1 + n2) * nz
-    return draw * sweeps + leg * sweeps + ring
+    return {"draw": draw * sweeps, "legendre": leg * sweeps, "ring": ring}
+
+
+def _analytic_flops(op, nfreq, fleg):
+    return sum(_analytic_parts(op, nfreq, fleg).values())
+
+
+def _stage_bytes(op, t, nfreq, fleg, fchunk):
+    """Minimum HBM traffic per stage of one full-cube step (bytes).
+
+    Counts unavoidable reads/writes of tensors that cannot stay on-core:
+    the ξ white-noise blocks (written by the RNG, read by the draw
+    einsum), the covariance-root slices, the per-chunk alm blocks
+    (written by the draw, read by the Legendre einsum), the Λ table
+    (read once per sweep), the H0/H1 ring accumulators (read+write of
+    the chunk's m-window per chunk) and the ring stage's spectrum/grid
+    passes (G write+read, ~4 Bluestein passes over the nfft2 spectrum,
+    grid write).  Fusion can only reduce these numbers; the achieved
+    GB/s computed against them is therefore a LOWER bound.
+    """
+    L = op.lmax + 1
+    nh = op.nhalf
+    nz = nfreq
+    sweeps = nz / fleg
+    xi = alm = lam = acc = 0.0
+    for c, (parity, sub_lo, nrows, _) in enumerate(op._lam_meta):
+        mw = min(t["lam"][c].shape[0], L)
+        xi += nrows * nz * 2 * mw * 4 * 2        # write + read, f32
+        alm += fleg * 2 * nrows * mw * 4 * 2     # write + read
+        lam += t["lam"][c].nbytes                # read
+        acc += 2 * fleg * 2 * nh * mw * 4 * 2    # H0+H1 slice r+w
+    roots = L * fleg * nz * 4
+    draw = (xi + roots + alm / 2) * sweeps
+    leg = (lam + alm / 2 + acc) * sweeps
+    nring = 4 * op.nside - 1
+    nq = 4 * op.nside
+    ring = (
+        nring * L * 8 * 2            # G spectrum write + read (c64)
+        + 4 * nring * op.nfft2 * 8   # ~4 Bluestein passes over nfft2
+        + nring * nq * 4             # grid write (f32)
+    ) * nz
+    return {"draw": draw, "legendre": leg, "ring": ring}
 
 
 if __name__ == "__main__":
