@@ -2268,27 +2268,54 @@ def alm2map(alm, nside: int):
 
 
 def map2alm(fmap, lmax: int | None = None, iter: int = 3,
-            method: str = "jacobi"):
+            method: str = "jacobi", solve_lmax: int | None = None):
     """Analysis of a HEALPix map into dense alm[..., l, m].
 
     method="cg" upgrades the refinement to conjugate gradients (see
     SHT.analysis); the default matches healpy's map2alm(iter=N) class.
+
+    solve_lmax — two-stage banded solve for full-lmax output.  The
+    HEALPix grid determines alm uniquely only to ℓ ≲ 2·nside: at
+    lmax = 3·nside−1 the per-m normal blocks reach cond ~1e26 (ring-
+    Nyquist information loss, identical in f64 — measured in
+    tools/pinv_analysis_proto.py), and solving the full-lmax system
+    pollutes even the well-determined band (band error 1.7e-3 in f32
+    AND 1.4e-3 in f64 at nside=64).  With ``solve_lmax`` (recommended
+    2·nside) the band is solved by CG on its own well-conditioned
+    system — f32 reaches ~6e-7, f64 ~3e-15 — and rows above it are
+    completed by one quadrature projection of the residual (they are
+    information-limited on this grid in any precision; same contract
+    as the reference's healpy quadrature, cora/util/hputil.py:46-47).
     """
     fmap = _put(fmap)
     nside = pixel.npix2nside(fmap.shape[-1])
     if lmax is None:
         lmax = 3 * nside - 1
-    return get_sht(nside, lmax).analysis(fmap, iter, method=method)
+    if solve_lmax is None or solve_lmax >= lmax:
+        return get_sht(nside, lmax).analysis(fmap, iter, method=method)
+
+    op_b = get_sht(nside, int(solve_lmax))
+    alm_b = op_b.analysis(fmap, iter, method="cg")
+    resid = fmap - op_b.synthesis(alm_b)
+    # corner completion: plain quadrature projection of the residual
+    alm_f = get_sht(nside, lmax).analysis(resid, 0)
+    pad = [(0, 0)] * (alm_b.ndim - 2) + [
+        (0, lmax - solve_lmax), (0, lmax - solve_lmax)
+    ]
+    out = jnp.pad(alm_b, pad)
+    keep = jnp.arange(lmax + 1)[:, None] > solve_lmax
+    return out + jnp.where(keep, alm_f, 0.0)
 
 
 def anafast(map1, map2=None, lmax: int | None = None, iter: int = 3,
-            method: str = "jacobi"):
+            method: str = "jacobi", solve_lmax: int | None = None):
     """Angular power spectrum C_l of one map or cross-spectrum of two."""
     nside = pixel.npix2nside(np.asarray(map1).shape[-1])
     if lmax is None:
         lmax = 3 * nside - 1
-    alm1 = map2alm(map1, lmax, iter, method)
-    alm2 = alm1 if map2 is None else map2alm(map2, lmax, iter, method)
+    alm1 = map2alm(map1, lmax, iter, method, solve_lmax)
+    alm2 = alm1 if map2 is None else map2alm(map2, lmax, iter, method,
+                                             solve_lmax)
     prod = alm1 * jnp.conj(alm2)
     s = prod[..., 0] + 2 * prod[..., 1:].sum(axis=-1).real
     return (s / (2.0 * jnp.arange(lmax + 1) + 1.0)).real

@@ -616,3 +616,55 @@ def test_lambda_device_build_matches_host():
         m_d = np.asarray(op_d.synthesis(jnp.asarray(alm)))
         rms = np.sqrt(np.mean((m_h - m_d) ** 2) / np.mean(m_h**2))
         assert rms < 3e-6  # within the 1e-5 map contract with margin
+
+
+@pytest.mark.slow
+def test_map2alm_banded_solve():
+    """solve_lmax: banded CG + quadrature corner completion.
+
+    The grid determines alm only to ell ~ 2 nside (per-m cond reaches
+    1e26 at full lmax — tools/pinv_analysis_proto.py); the banded
+    two-stage solve recovers band modes to the pipeline's eps class
+    where the full-lmax solve pollutes them ~1e-3 in ANY precision.
+    """
+    import numpy as np
+
+    nside = 32
+    lmaxF = 3 * nside - 1
+    L2 = 2 * nside
+    Lf = lmaxF + 1
+    rng = np.random.default_rng(7)
+    li = np.arange(Lf)[:, None]
+    mi = np.arange(Lf)[None, :]
+    a = (rng.standard_normal((Lf, Lf))
+         + 1j * rng.standard_normal((Lf, Lf))) * np.sqrt(0.5)
+    a[:, 0] = rng.standard_normal(Lf)
+    alm = np.where((mi <= li) & (li <= L2), a, 0.0)
+    scale = np.abs(alm).max()
+
+    m64 = np.asarray(sht.alm2map(jnp.asarray(alm), nside))
+
+    # f32 pipeline: banded solve keeps band modes at ~1e-6 (the
+    # full-lmax f32 solve sits at ~2e-3 on the same modes)
+    rec32 = np.asarray(sht.map2alm(
+        m64.astype(np.float32), lmaxF, iter=20, solve_lmax=L2
+    ))
+    band = (li <= L2) & (mi <= li)
+    err32 = np.abs(rec32 - alm)[band].max() / scale
+    assert err32 < 5e-6, err32
+
+    full32 = np.asarray(sht.map2alm(
+        m64.astype(np.float32), lmaxF, iter=20, method="cg"
+    ))
+    errf = np.abs(full32 - alm)[band].max() / scale
+    assert errf > 10 * err32  # banded strictly beats full-lmax solve
+
+    # f64 pipeline: banded solve reaches ~1e-12
+    rec64 = np.asarray(sht.map2alm(m64, lmaxF, iter=20, solve_lmax=L2))
+    err64 = np.abs(rec64 - alm)[band].max() / scale
+    assert err64 < 1e-11, err64
+
+    # output shape covers the full triangle; corner rows are the
+    # quadrature estimate (finite, information-limited)
+    assert rec32.shape == (Lf, Lf)
+    assert np.isfinite(rec32).all()
