@@ -353,6 +353,115 @@ def _window_deposit(ii, density, pix_i, pix_w, rad_i, rad_w, out_pad,
     return o.reshape(out_pad.shape)
 
 
+def _stencil_deposit(ii, density, pix_i, pix_w, rad_i, rad_w, out_pad,
+                     nside, DR, DJ, KR):
+    """Scatter-free BELT deposit: static masked stencil shifts.
+
+    The equatorial belt (rings nside−1 … 3nside−1, 0-based; ~⅔ of the
+    pixels) has CONSTANT ring length W = 4·nside, so a belt pixel id is
+    an affine function of its (ring, φ-index) — target offsets
+    (Δring, Δφ) are computed arithmetically from the pixel ids (no
+    gathers), take only a handful of values for Zel'dovich-scale
+    displacements, and the whole deposit factorises into
+    (2DR+1)(2DJ+1)(2KR+1) masked `jnp.roll` adds on the [nring_belt, W]
+    plane — pure VPU streaming, ZERO scatter (the φ roll is circular,
+    matching the ring wrap exactly).  Cap-source particles and the DR
+    belt-margin rings go through the plain scatter (two static
+    contiguous pixel ranges); belt updates outside the stencil ranges
+    POISON the output with NaN (the sharded-deposit contract) rather
+    than silently dropping mass — widen DR/DJ/KR for wilder fields.
+
+    Replaces ~⅔ of the reference's atomic scatter volume
+    (pmesh_util.c:37-38) with dense shifts; measured on v5e in
+    tools/bench_stencil.py.
+    """
+    from jax import lax
+
+    npix = pix_i.shape[0]
+    W = 4 * nside
+    nbr = 2 * nside + 1                    # belt ring count
+    S_belt = 2 * nside * (nside - 1)       # first belt pixel
+    # stencil sources: belt rows [DR, nbr-DR) — margins go to scatter
+    S0 = S_belt + DR * W
+    n_rows = nbr - 2 * DR
+    S1 = S0 + n_rows * W
+    NR = out_pad.shape[0] - 0              # padded radial rows
+
+    f32 = out_pad.dtype
+
+    # ---- scatter part: caps + belt margins (static contiguous ids) ----
+    # out_pad rows are radially padded by KR: padded row = true row + KR
+    def scat(out_flat, lo, hi):
+        w = (
+            density[lo:hi, None, None]
+            * rad_w[lo:hi, :, None]
+            * pix_w[lo:hi, None, :]
+        ).astype(f32)
+        t = (
+            (rad_i[lo:hi, :, None].astype(jnp.int32) + KR) * npix
+            + pix_i[lo:hi, None, :].astype(jnp.int32)
+        )
+        return out_flat.at[t.reshape(-1)].add(w.reshape(-1))
+
+    out_flat = out_pad.reshape(-1)
+    out_flat = scat(out_flat, 0, S0)
+    out_flat = scat(out_flat, S1, npix)
+    out_pad = out_flat.reshape(out_pad.shape)
+
+    # ---- stencil part ---------------------------------------------------
+    dsl = lambda a: lax.slice_in_dim(a, S0, S1, axis=0)
+    pi = dsl(pix_i)                                   # [n, 9]
+    pw = dsl(pix_w).astype(f32)
+    ri = dsl(rad_i)                                   # [n, 3]
+    rw = dsl(rad_w).astype(f32)
+    den = dsl(density).astype(f32)
+
+    src_row = (jnp.arange(n_rows * W, dtype=jnp.int32) // W)[:, None]
+    src_col = (jnp.arange(n_rows * W, dtype=jnp.int32) % W)[:, None]
+    trow = (pi - S0).astype(jnp.int32) // W           # target row − 0
+    tcol = (pi - S0).astype(jnp.int32) % W
+    dr = trow - src_row                               # [n, 9]
+    dj = tcol - src_col
+    dj = ((dj + W // 2) % W) - W // 2                 # φ wrap
+    kr = ri - ii                                      # [n, 3] radial offs
+
+    live_p = pw > 0
+    live_r = rw > 0
+    # poison on any live update outside the stencil ranges (exactness)
+    miss = (
+        jnp.sum(live_p & ((jnp.abs(dr) > DR) | (jnp.abs(dj) > DJ)))
+        + jnp.sum(live_r & (jnp.abs(kr) > KR))
+    )
+    poison = jnp.where(miss > 0, jnp.nan, 0.0).astype(f32)
+
+    # radial slot weights per kr offset: [2KR+1, n]
+    wr_k = jnp.stack(
+        [jnp.sum(jnp.where(kr == c, rw, 0.0), axis=1)
+         for c in range(-KR, KR + 1)]
+    )
+    # accumulator covers the FULL belt [nbr rows]: stencil sources live
+    # in rows [DR, nbr-DR) and their |a| <= DR shifted targets land
+    # anywhere in [0, nbr) — margin rows receive boundary mass here
+    acc = jnp.zeros((2 * KR + 1, nbr, W), f32)
+    for a in range(-DR, DR + 1):
+        for b in range(-DJ, DJ + 1):
+            wk = jnp.sum(jnp.where((dr == a) & (dj == b), pw, 0.0), axis=1)
+            m = (den * wk)[None, :] * wr_k            # [2KR+1, n]
+            m = m.reshape(2 * KR + 1, n_rows, W)
+            # shift source → target: out[r+a, j+b] += m[r, j]
+            m = jnp.roll(m, b, axis=2)
+            acc = acc.at[:, DR + a : DR + a + n_rows, :].add(m)
+    acc = acc + poison
+
+    # add the acc planes into padded output rows [ii+c+KR], full belt
+    # span — one contiguous (2KR+1)-row window, always in-bounds
+    cur = lax.dynamic_slice(out_pad, (ii, S_belt), (2 * KR + 1, nbr * W))
+    out_pad = lax.dynamic_update_slice(
+        out_pad, cur + acc.reshape(2 * KR + 1, -1), (ii, S_belt)
+    )
+    return out_pad
+
+
 def za_density_sph(
     psi,
     delta_bias,
@@ -365,6 +474,7 @@ def za_density_sph(
     chunk=1,
     deposit="auto",
     offset_window=(4, 6, 3),
+    stencil_window=(4, 5, 4),
 ):
     """Zel'dovich density via SPH mass assignment — fully on-device.
 
@@ -406,6 +516,11 @@ def za_density_sph(
         |ε| ≤ E, radial offsets |kr| ≤ KR0.  Contributions outside the
         window are handled exactly by the fallback scatter — widen for
         very large displacement fields to keep the fast path dominant.
+    stencil_window : (DR, DJ, KR)
+        ``deposit="stencil"`` ranges: the belt deposit runs as
+        (2DR+1)(2DJ+1)(2KR+1) masked roll-adds (see
+        :func:`_stencil_deposit`); belt updates outside the ranges
+        POISON the output with NaN (never silent mass loss).
 
     Returns
     -------
@@ -430,6 +545,7 @@ def za_density_sph(
             chunk=chunk,
             deposit=deposit,
             offset_window=offset_window,
+            stencil_window=stencil_window,
         )
         return out[::-1]
 
@@ -492,17 +608,24 @@ def za_density_sph(
             return _window_deposit(
                 ii, density, pix_i, pix_w, rad_i, rad_w, out, KR0, cap
             )
+        if deposit == "stencil":
+            DR, DJ, KRs = stencil_window
+            return _stencil_deposit(
+                ii, density, pix_i, pix_w, rad_i, rad_w, out,
+                nside, DR, DJ, KRs,
+            )
         return bin_delta(density, pix_i, pix_w, rad_i, rad_w, out)
 
     def step(out, ii):
         return slice_update(out, ii), None
 
-    if deposit in ("offset", "window"):
-        # radial rows padded by KR0 on both ends: the per-slice deposit
-        # window [ii−KR0, ii+KR0] then always lands in-bounds
-        out0 = jnp.zeros((nchi + 2 * KR0, npix), dtype=delta_bias.dtype)
+    if deposit in ("offset", "window", "stencil"):
+        # radial rows padded on both ends: the per-slice deposit
+        # window [ii−KR, ii+KR] then always lands in-bounds
+        KRp = stencil_window[2] if deposit == "stencil" else KR0
+        out0 = jnp.zeros((nchi + 2 * KRp, npix), dtype=delta_bias.dtype)
         out, _ = jax.lax.scan(step, out0, jnp.arange(nchi))
-        return out[KR0 : KR0 + nchi] - 1.0
+        return out[KRp : KRp + nchi] - 1.0
 
     out0 = jnp.zeros((nchi, npix), dtype=delta_bias.dtype)
     out, _ = jax.lax.scan(step, out0, jnp.arange(nchi))

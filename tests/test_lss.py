@@ -338,3 +338,46 @@ def test_sph_deposit_variants_match_scatter():
             )
             assert np.isfinite(b).all()
             assert np.abs(a - b).max() < 2e-6 * np.abs(a).max(), dep
+
+
+def test_stencil_deposit_matches_scatter():
+    """deposit="stencil" (belt roll-adds + cap scatter) equals the
+    scatter deposit exactly (same adds, different order)."""
+    from cora_tpu.ops import pmesh
+
+    nside, nchi = 8, 16
+    npix = 12 * nside**2
+    chi = np.linspace(900.0, 1000.0, nchi)
+    rng = np.random.default_rng(3)
+    dchi = float(np.mean(np.diff(chi)))
+    res = 1.0 / nside
+    psi = np.stack([
+        0.3 * dchi * rng.standard_normal((nchi, npix)),
+        0.3 * res * rng.standard_normal((nchi, npix)),
+        0.3 * res * rng.standard_normal((nchi, npix)),
+    ])
+    db = 0.1 * rng.standard_normal((nchi, npix))
+    dm = 0.1 * rng.standard_normal((nchi, npix))
+    args = (jnp.asarray(psi), jnp.asarray(db), jnp.asarray(dm),
+            jnp.asarray(chi), nside)
+    ref = np.asarray(pmesh.za_density_sph(*args, deposit="scatter"))
+    got = np.asarray(pmesh.za_density_sph(*args, deposit="stencil"))
+    assert np.isfinite(got).all()
+    assert np.abs(got - ref).max() < 1e-10 * np.abs(ref).max()
+
+
+def test_stencil_deposit_poisons_on_window_overflow():
+    """Belt updates beyond the stencil ranges must poison, not drop."""
+    from cora_tpu.ops import pmesh
+
+    nside, nchi = 8, 16
+    npix = 12 * nside**2
+    chi = np.linspace(900.0, 1000.0, nchi)
+    dchi = float(np.mean(np.diff(chi)))
+    psi = np.zeros((3, nchi, npix))
+    psi[0] = 8.0 * dchi  # far beyond KR=4
+    out = np.asarray(pmesh.za_density_sph(
+        jnp.asarray(psi), jnp.zeros((nchi, npix)), jnp.zeros((nchi, npix)),
+        jnp.asarray(chi), nside, deposit="stencil",
+    ))
+    assert np.isnan(out).any()
