@@ -524,6 +524,10 @@ class ZeldovichDynamics(DynamicsBase):
 
     sph = Property(proptype=bool, default=True)
     mesh_halo = Property(proptype=int, default=4)
+    # SPH mass-deposit algorithm (single-device path): "auto"/"scatter",
+    # or "stencil" — belt roll-adds, 1.9x on v5e (tools/bench_stencil.*;
+    # poisons on >window displacements rather than dropping mass)
+    deposit = Property(proptype=str, default="auto")
 
     def process(self, initial_field: InitialLSS, biased_field: BiasedLSS) -> BiasedLSS:
         self._validate_fields(initial_field, biased_field)
@@ -579,6 +583,7 @@ class ZeldovichDynamics(DynamicsBase):
                 jnp.asarray(chi),
                 nside,
                 sigma_chi=sigma_chi,
+                deposit=self.deposit,
             )
             final_field.delta[:] = np.asarray(out)
         else:

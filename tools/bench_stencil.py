@@ -34,27 +34,37 @@ db = (0.1 * rng.standard_normal((nchi, npix))).astype(np.float32)
 dm = (0.1 * rng.standard_normal((nchi, npix))).astype(np.float32)
 
 from cora_tpu.util import xfer
-args = (xfer.put(psi), xfer.put(db), xfer.put(dm), xfer.put(chi.astype(np.float32)), nside)
+chi32 = chi.astype(np.float32)
+args = (xfer.put(psi), xfer.put(db), xfer.put(dm))
 
 res_d = {}
 for dep in ("scatter", "stencil"):
-    f = jax.jit(lambda a, b, c, d: pmesh.za_density_sph(
-        a, b, c, d, nside, deposit=dep))
+    # chi stays host-side: za_density_sph checks its ordering eagerly.
+    # Sync via a scalar fetch: block_until_ready does NOT block on the
+    # tunnelled axon runtime (same pattern as tools/bench_za.py).
+    def run(a, b, c, _dep=dep):
+        out = pmesh.za_density_sph(a, b, c, chi32, nside, deposit=_dep)
+        return out, jnp.sum(jnp.abs(out))
+    f = jax.jit(run)
     t0 = time.time()
-    out = jax.block_until_ready(f(*args[:4]))
-    print(f"# {dep}: warmup+compile {time.time()-t0:.1f}s", flush=True)
+    out, sm = f(*args)
+    sm = float(sm)
+    print(f"# {dep}: warmup+compile {time.time()-t0:.1f}s sum={sm:.4e}",
+          flush=True)
     ts = []
     for _ in range(2):
         t0 = time.time()
-        out = jax.block_until_ready(f(*args[:4]))
+        out, sm = f(*args)
+        float(sm)
         ts.append(time.time() - t0)
     best = min(ts)
-    res_d[dep] = (best, out)
+    res_d[dep] = (best, out)  # out fetched below via xfer-safe compare
     print(f"# {dep}: {best:.2f}s  ({27*nchi*npix/best/1e6:.0f} M updates/s)",
           flush=True)
 
-dev = float(jnp.max(jnp.abs(res_d["stencil"][1] - res_d["scatter"][1])))
-sc = float(jnp.max(jnp.abs(res_d["scatter"][1])))
-fin = bool(jnp.all(jnp.isfinite(res_d["stencil"][1])))
+cmp = jax.jit(lambda x, y: (jnp.max(jnp.abs(x - y)), jnp.max(jnp.abs(y)),
+                            jnp.all(jnp.isfinite(x))))
+d_, s_, f_ = cmp(res_d["stencil"][1], res_d["scatter"][1])
+dev, sc, fin = float(d_), float(s_), bool(f_)
 print(f"# equality: max|dev|={dev:.2e} scale={sc:.2e} finite={fin}", flush=True)
 print(f"# speedup: {res_d['scatter'][0]/res_d['stencil'][0]:.2f}x", flush=True)
