@@ -833,7 +833,7 @@ class AddCorrelatedShotNoise(MeshTaskMixin, RandomTask):
         return input_field
 
 
-class GenerateFlatSpectrumMap(RandomTask):
+class GenerateFlatSpectrumMap(MeshTaskMixin, RandomTask):
     """Full-frequency flat-spectrum noise-like map with specified power."""
 
     nside = Property(proptype=int, default=512)
@@ -888,9 +888,29 @@ class GenerateFlatSpectrumMap(RandomTask):
         pol_axis = list(m.index_map["pol"])
         ipol = [pol_axis.index(p) for p in self.pol]
 
-        m.map[:, ipol, :] = self.rng.normal(
-            scale=scale, size=(nfreq, len(ipol), m.map.shape[-1])
-        )
+        mesh = self._get_mesh(nfreq)
+        if mesh is not None:
+            # chi-sharded keyed fill (the reference fills its freq shards
+            # locally, lss.py:1521); mesh-size invariant like shot noise
+            from ..parallel.lss import shot_noise_sharded
+
+            self.log.info(f"Flat-spectrum fill on a {mesh.shape} mesh")
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            std = np.broadcast_to(
+                np.asarray(scale, dtype=np.float64).reshape(-1), (nfreq,)
+            )
+            for k in ipol:
+                noise = shot_noise_sharded(
+                    jax.random.fold_in(
+                        jax.random.PRNGKey(self.seed or 0), k
+                    ),
+                    std, (nfreq, m.map.shape[-1]), mesh, dtype=dtype,
+                )
+                m.map[:, k, :] = np.asarray(noise)
+        else:
+            m.map[:, ipol, :] = self.rng.normal(
+                scale=scale, size=(nfreq, len(ipol), m.map.shape[-1])
+            )
 
         m.attrs["voxvol_ref"] = voxvol
         m.attrs["central_redshift"] = redshift[ref_chan]

@@ -263,6 +263,25 @@ def test_flat_spectrum_map():
     assert (m.map[:, 1:] == 0).all()
 
 
+def test_flat_spectrum_map_mesh_invariant():
+    """Mesh fill: identical on any mesh size, correct amplitude."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = {"nside": 8, "frequencies": [500.0, 550.0, 8], "P_SN": 1e-6,
+           "seed": 3}
+    outs = []
+    for n in (2, -1):
+        task = lss.GenerateFlatSpectrumMap.from_config(
+            dict(cfg, mesh_devices=n)
+        )
+        task.setup()
+        outs.append(task.process().map[:])
+    assert np.array_equal(outs[0], outs[1])
+    assert outs[0][:, 0].std() > 0
+
+
 @pytest.mark.slow
 def test_yaml_pipeline_full_chain(tmp_path):
     """The docs' full ZA chain (two-input ZeldovichDynamics via `in` lists,
