@@ -9,6 +9,8 @@ and container checkpoints with device-sharded datasets.
 import numpy as np
 import pytest
 
+pytest.importorskip("orbax.checkpoint")
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P

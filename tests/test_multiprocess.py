@@ -14,6 +14,8 @@ import sys
 
 import pytest
 
+pytest.importorskip("orbax.checkpoint")
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
