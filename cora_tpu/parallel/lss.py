@@ -231,7 +231,7 @@ def shot_noise_sharded(key, std, shape, mesh, mesh_axis="freq",
 
 def za_density_sph_sharded(
     psi, delta_bias, delta_m, chi, nside, mesh, sigma_chi=None,
-    mesh_axis="freq", halo=4,
+    mesh_axis="freq", halo=4, deposit="stencil",
 ):
     """Zel'dovich SPH mass assignment sharded over the chi axis.
 
@@ -319,6 +319,16 @@ def za_density_sph_sharded(
             rad_i, rad_w = pm.radial_weights(
                 chi_ind, new_chi, scaling, sigma_chi, 1, chi_g
             )
+            if deposit == "stencil":
+                # the single-device stencil deposit drops in: its padded
+                # rows (true + KR) ARE the halo-padded local rows
+                # (rad_i − lo + H) with ii → ii_loc, KR → H; radial
+                # outliers beyond ±H poison inside (same halo contract)
+                out = pm._stencil_deposit(
+                    ii_loc, density, pix_i, pix_w, rad_i - lo, rad_w,
+                    out, nside, 4, 5, H,
+                )
+                return (out, nmiss), None
             # global radial bin → local halo-padded row
             t_loc = rad_i - lo + H
             valid = (t_loc >= 0) & (t_loc < nloc + 2 * H)
