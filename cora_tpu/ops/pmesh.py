@@ -42,7 +42,8 @@ def calculate_positions(angpos, displacement):
     return jnp.stack([th, ph])
 
 
-def pixel_weights(new_ang_ind, new_ang_vec, scaling, sigma, nn_ind, nn_vec):
+def pixel_weights(new_ang_ind, new_ang_vec, scaling, sigma, nn_ind, nn_vec,
+                  *, nside=None):
     """Gaussian SPH weights over the 9 neighbour pixels of each particle.
 
     Parameters
@@ -57,8 +58,11 @@ def pixel_weights(new_ang_ind, new_ang_vec, scaling, sigma, nn_ind, nn_vec):
         Nominal angular particle size.
     nn_ind : [npix, 9] int
         Neighbour pixel indices (self first; -1 where missing).
-    nn_vec : [npix, 9, 3]
-        Neighbour pixel centre vectors.
+    nn_vec : [npix, 9, 3] or None
+        Neighbour pixel centre vectors.  ``None`` computes them
+        arithmetically from the ids (:func:`_pix2vec_jax`; requires
+        ``nside``) — removes a 21 M-element-per-slice gather at
+        ~4e-7 vector accuracy (table storage class).
 
     Returns
     -------
@@ -69,7 +73,12 @@ def pixel_weights(new_ang_ind, new_ang_vec, scaling, sigma, nn_ind, nn_vec):
     ind = jnp.clip(new_ang_ind, 0, npix - 1)
 
     nbr_i = nn_ind[ind]  # [npart, 9]
-    nbr_v = nn_vec[ind]  # [npart, 9, 3]
+    if nn_vec is None:
+        nbr_v = _pix2vec_jax(nside, jnp.maximum(nbr_i, 0)).astype(
+            new_ang_vec.dtype
+        )
+    else:
+        nbr_v = nn_vec[ind]  # [npart, 9, 3]
 
     dot = jnp.einsum("pjc,pc->pj", nbr_v, new_ang_vec)
     dist2 = 1.0 - dot * dot  # sin^2 of angular separation
@@ -504,6 +513,7 @@ def za_density_sph(
     deposit="auto",
     offset_window=(4, 6, 3),
     stencil_window=(4, 5, 4),
+    vectors="table",
 ):
     """Zel'dovich density via SPH mass assignment — fully on-device.
 
@@ -550,6 +560,11 @@ def za_density_sph(
         (2DR+1)(2DJ+1)(2KR+1) masked roll-adds (see
         :func:`_stencil_deposit`); belt updates outside the ranges
         POISON the output with NaN (never silent mass loss).
+    vectors : {"table", "arith"}
+        Neighbour centre vectors from the precomputed table (gathered
+        per particle) or computed arithmetically from the pixel ids
+        (:func:`_pix2vec_jax`, ~4e-7 agreement — changes SPH weights at
+        the same level).
 
     Returns
     -------
@@ -575,6 +590,7 @@ def za_density_sph(
             deposit=deposit,
             offset_window=offset_window,
             stencil_window=stencil_window,
+            vectors=vectors,
         )
         return out[::-1]
 
@@ -622,7 +638,8 @@ def za_density_sph(
         )
 
         pix_i, pix_w = pixel_weights(
-            new_ang_ind, new_ang_vec, scaling, sigma_ang, nn_ind, nn_vec
+            new_ang_ind, new_ang_vec, scaling, sigma_ang, nn_ind,
+            None if vectors == "arith" else nn_vec, nside=nside,
         )
         chi_ind = jnp.searchsorted(chi, new_chi)
         rad_i, rad_w = radial_weights(
@@ -710,6 +727,72 @@ def _ring_tables(nside):
         nq_f=jnp.asarray(nphi.astype(np.float32)),
         A_r=jnp.asarray(np.round(A_r * 2.0) / 2.0),  # exact {0, 0.5}
         start_r=jnp.asarray(start.astype(np.int32)),
+    )
+
+
+def _pix2vec_jax(nside, ipix):
+    """RING pix2vec, jittable (mirror of healpix.pixel.pix2ang + ang2vec).
+
+    Replaces the [npart, 9, 3] ``nn_vec`` table gather in the SPH
+    pipeline (the gather moves 21 M elements per chi slice at nside=256)
+    with pure VPU arithmetic on the neighbour pixel ids.  The cap ring
+    index comes from a float isqrt with an exact INTEGER fix-up against
+    the ring-start formula 2·i·(i−1), so the ring classification is
+    exact even where f32 sqrt rounding straddles a boundary.
+    """
+    npix = 12 * nside * nside
+    ncap = 2 * nside * (nside - 1)
+    idt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    p = ipix.astype(idt)
+
+    def cap_ring(pc):
+        """Ring index i >= 1 of cap pixel pc (north convention)."""
+        i = jnp.sqrt(0.5 * (pc.astype(fdt) + 1.0)).astype(idt) + 1
+        # integer fix-up: ring i starts at 2 i (i−1) — exact in ints
+        for _ in range(2):
+            i = jnp.where(2 * i * (i - 1) > pc, i - 1, i)
+            i = jnp.where(2 * (i + 1) * i <= pc, i + 1, i)
+        return jnp.maximum(i, 1)
+
+    # north cap.  1−z = i²/3n² exactly, so sinθ comes cancellation-free
+    # from st² = (1−z)(1+z) — the naive sqrt(1−z²) loses ~half the f32
+    # bits on the polar rings.
+    i_n = cap_ring(p)
+    j_n = p + 1 - 2 * i_n * (i_n - 1)
+    omz_n = i_n.astype(fdt) ** 2 / (3.0 * nside**2)
+    z_n = 1.0 - omz_n
+    st_n = jnp.sqrt(omz_n * (2.0 - omz_n))
+    phi_n = (j_n.astype(fdt) - 0.5) / i_n.astype(fdt) * (jnp.pi / 2)
+
+    # equatorial belt (|z| <= 2/3: no cancellation in 1 − z²)
+    pe = p - ncap
+    i_e = pe // (4 * nside) + nside
+    j_e = pe % (4 * nside) + 1
+    s_e = (i_e - nside + 1) % 2
+    z_e = 4.0 / 3.0 - 2.0 * i_e.astype(fdt) / (3.0 * nside)
+    st_e = jnp.sqrt(jnp.maximum(1.0 - z_e * z_e, 0.0))
+    phi_e = (j_e.astype(fdt) - 1.0 + 0.5 * s_e.astype(fdt)) / nside * (
+        jnp.pi / 2
+    )
+
+    # south cap
+    ps = npix - 1 - p
+    i_s = cap_ring(ps)
+    j_s = ps + 1 - 2 * i_s * (i_s - 1)
+    j_s = 4 * i_s + 1 - j_s
+    omz_s = i_s.astype(fdt) ** 2 / (3.0 * nside**2)
+    z_s = -(1.0 - omz_s)
+    st_s = jnp.sqrt(omz_s * (2.0 - omz_s))
+    phi_s = (j_s.astype(fdt) - 0.5) / i_s.astype(fdt) * (jnp.pi / 2)
+
+    in_n = p < ncap
+    in_s = p >= npix - ncap
+    z = jnp.where(in_n, z_n, jnp.where(in_s, z_s, z_e))
+    st = jnp.where(in_n, st_n, jnp.where(in_s, st_s, st_e))
+    phi = jnp.where(in_n, phi_n, jnp.where(in_s, phi_s, phi_e))
+    return jnp.stack(
+        [st * jnp.cos(phi), st * jnp.sin(phi), z], axis=-1
     )
 
 

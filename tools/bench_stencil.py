@@ -38,13 +38,16 @@ chi32 = chi.astype(np.float32)
 args = (xfer.put(psi), xfer.put(db), xfer.put(dm))
 
 res_d = {}
-for dep in ("scatter", "stencil"):
+for dep, vec in (("scatter", "table"), ("stencil", "table"),
+                 ("stencil", "arith")):
     # chi stays host-side: za_density_sph checks its ordering eagerly.
     # Sync via a scalar fetch: block_until_ready does NOT block on the
     # tunnelled axon runtime (same pattern as tools/bench_za.py).
-    def run(a, b, c, _dep=dep):
-        out = pmesh.za_density_sph(a, b, c, chi32, nside, deposit=_dep)
+    def run(a, b, c, _dep=dep, _vec=vec):
+        out = pmesh.za_density_sph(a, b, c, chi32, nside, deposit=_dep,
+                                   vectors=_vec)
         return out, jnp.sum(jnp.abs(out))
+    dep = f"{dep}/{vec}"
     f = jax.jit(run)
     t0 = time.time()
     out, sm = f(*args)
@@ -64,7 +67,8 @@ for dep in ("scatter", "stencil"):
 
 cmp = jax.jit(lambda x, y: (jnp.max(jnp.abs(x - y)), jnp.max(jnp.abs(y)),
                             jnp.all(jnp.isfinite(x))))
-d_, s_, f_ = cmp(res_d["stencil"][1], res_d["scatter"][1])
-dev, sc, fin = float(d_), float(s_), bool(f_)
-print(f"# equality: max|dev|={dev:.2e} scale={sc:.2e} finite={fin}", flush=True)
-print(f"# speedup: {res_d['scatter'][0]/res_d['stencil'][0]:.2f}x", flush=True)
+base = res_d["scatter/table"]
+for k in ("stencil/table", "stencil/arith"):
+    d_, s_, f_ = cmp(res_d[k][1], base[1])
+    print(f"# {k}: max|dev|={float(d_):.2e} scale={float(s_):.2e} "
+          f"finite={bool(f_)} speedup={base[0]/res_d[k][0]:.2f}x", flush=True)
