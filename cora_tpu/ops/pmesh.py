@@ -678,14 +678,22 @@ def za_density_sph(
     return out - 1.0
 
 
-def sph_geometry(nside, rings=False):
+def sph_geometry(nside, rings=False, device=True):
     """Host-precomputed geometry tables for the SPH gridder.
 
     With ``rings=True`` the dict also carries the per-ring tables the
     offset deposit needs (see :func:`_ring_tables`).
+
+    ``device=False`` returns plain numpy arrays.  Use this to ship the
+    tables through jit ARGUMENTS (after an explicit transfer) rather
+    than closing over device arrays: closure-captured tables become
+    lowering-time constants in the compile payload, which at nside=512
+    (~0.5 GB of angpos+nn_ind+nn_vec) exceeds the tunnelled axon
+    runtime's remote_compile request limit (HTTP 413).
     """
     from ..healpix import pixel as hpx
 
+    cvt = jnp.asarray if device else np.asarray
     npix = hpx.nside2npix(nside)
     th, ph = hpx.pix2ang(nside, np.arange(npix))
     angpos = np.stack([th, ph])
@@ -699,17 +707,17 @@ def sph_geometry(nside, rings=False):
     nn_vec = np.stack([x, y, z], axis=-1).reshape(npix, 9, 3)
 
     g = dict(
-        angpos=jnp.asarray(angpos),
-        nn_ind=jnp.asarray(nn_ind),
-        nn_vec=jnp.asarray(nn_vec),
+        angpos=cvt(angpos),
+        nn_ind=cvt(nn_ind),
+        nn_vec=cvt(nn_vec),
     )
     if rings:
-        g.update(_ring_tables(nside))
+        g.update({k: cvt(v) for k, v in _ring_tables_np(nside).items()})
     return g
 
 
-def _ring_tables(nside):
-    """Per-ring / per-pixel index tables for the offset deposit."""
+def _ring_tables_np(nside):
+    """Per-ring / per-pixel index tables for the offset deposit (numpy)."""
     from ..healpix import pixel as hpx
 
     info = hpx.ring_info(nside)
@@ -722,12 +730,17 @@ def _ring_tables(nside):
     # A_r = phi0·n/(2π): the first pixel's offset in its own grid units
     A_r = (info["phi0"] * nphi / (2.0 * np.pi)).astype(np.float32)
     return dict(
-        r_of=jnp.asarray(r_of),
-        j_of=jnp.asarray(j_of),
-        nq_f=jnp.asarray(nphi.astype(np.float32)),
-        A_r=jnp.asarray(np.round(A_r * 2.0) / 2.0),  # exact {0, 0.5}
-        start_r=jnp.asarray(start.astype(np.int32)),
+        r_of=r_of,
+        j_of=j_of,
+        nq_f=nphi.astype(np.float32),
+        A_r=np.round(A_r * 2.0) / 2.0,  # exact {0, 0.5}
+        start_r=start.astype(np.int32),
     )
+
+
+def _ring_tables(nside):
+    """Per-ring / per-pixel index tables for the offset deposit (device)."""
+    return {k: jnp.asarray(v) for k, v in _ring_tables_np(nside).items()}
 
 
 def _pix2vec_jax(nside, ipix):

@@ -35,6 +35,18 @@ dm = (0.1 * rng.standard_normal((nchi, npix))).astype(np.float32)
 
 from cora_tpu.util import xfer
 chi32 = chi.astype(np.float32)
+
+# Geometry tables go through jit ARGUMENTS, not closures: closure capture
+# bakes them into the compile payload as constants, and at nside=512 the
+# ~0.5 GB of tables exceeds the tunnelled remote_compile request limit
+# (HTTP 413; see BASELINE.md deposit table).
+geom_np = pmesh.sph_geometry(nside, device=False)
+geom = {
+    k: xfer.put(v.astype(np.int32) if v.dtype.kind == "i"
+                else v.astype(np.float32))
+    for k, v in geom_np.items()
+}
+del geom_np
 args = (xfer.put(psi), xfer.put(db), xfer.put(dm))
 
 res_d = {}
@@ -43,21 +55,21 @@ for dep, vec in (("scatter", "table"), ("stencil", "table"),
     # chi stays host-side: za_density_sph checks its ordering eagerly.
     # Sync via a scalar fetch: block_until_ready does NOT block on the
     # tunnelled axon runtime (same pattern as tools/bench_za.py).
-    def run(a, b, c, _dep=dep, _vec=vec):
+    def run(a, b, c, g, _dep=dep, _vec=vec):
         out = pmesh.za_density_sph(a, b, c, chi32, nside, deposit=_dep,
-                                   vectors=_vec)
+                                   vectors=_vec, geometry=g)
         return out, jnp.sum(jnp.abs(out))
     dep = f"{dep}/{vec}"
     f = jax.jit(run)
     t0 = time.time()
-    out, sm = f(*args)
+    out, sm = f(*args, geom)
     sm = float(sm)
     print(f"# {dep}: warmup+compile {time.time()-t0:.1f}s sum={sm:.4e}",
           flush=True)
     ts = []
     for _ in range(2):
         t0 = time.time()
-        out, sm = f(*args)
+        out, sm = f(*args, geom)
         float(sm)
         ts.append(time.time() - t0)
     best = min(ts)
