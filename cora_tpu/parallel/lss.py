@@ -231,7 +231,7 @@ def shot_noise_sharded(key, std, shape, mesh, mesh_axis="freq",
 
 def za_density_sph_sharded(
     psi, delta_bias, delta_m, chi, nside, mesh, sigma_chi=None,
-    mesh_axis="freq", halo=4, deposit="stencil",
+    mesh_axis="freq", halo=4, deposit="stencil", geometry=None,
 ):
     """Zel'dovich SPH mass assignment sharded over the chi axis.
 
@@ -252,6 +252,15 @@ def za_density_sph_sharded(
     chi must be ascending (callers flip frequency-ordered fields on
     host, as :func:`cora_tpu.ops.pmesh.za_density_sph` does).
 
+    ``geometry``: precomputed pixel tables (see
+    :func:`cora_tpu.ops.pmesh.sph_geometry`).  When this function runs
+    under an outer jit at large nside, build the tables OUTSIDE the
+    trace and pass them through the caller's jit arguments — tables
+    created (or closed over) inside a trace become compile-payload
+    constants, which at nside>=512 (~0.5 GB) exceeds the tunnelled
+    runtime's remote_compile request limit (HTTP 413; BASELINE.md
+    "Deposit at nside=512").
+
     Returns the [nchi, npix] density contrast, chi-sharded.
     """
     from ..healpix import pixel as hpx
@@ -271,7 +280,8 @@ def za_density_sph_sharded(
     if nchi > 1 and chi_host[1] < chi_host[0]:
         raise ValueError("za_density_sph_sharded requires ascending chi")
 
-    geometry = pm.sph_geometry(nside)
+    if geometry is None:
+        geometry = pm.sph_geometry(nside)
     angpos = geometry["angpos"]
     nn_ind = geometry["nn_ind"]
     nn_vec = geometry["nn_vec"]
