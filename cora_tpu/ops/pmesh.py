@@ -598,13 +598,20 @@ def za_density_sph(
         deposit = "scatter"
 
     if geometry is None:
-        geometry = sph_geometry(nside, rings=deposit == "offset")
+        geometry = sph_geometry(
+            nside, rings=deposit == "offset", vectors=vectors != "arith"
+        )
     elif deposit == "offset" and "r_of" not in geometry:
         geometry = dict(geometry, **_ring_tables(nside))
 
     angpos = geometry["angpos"]  # [2, npix]
     nn_ind = geometry["nn_ind"]  # [npix, 9]
-    nn_vec = geometry["nn_vec"]  # [npix, 9, 3]
+    nn_vec = geometry.get("nn_vec")  # [npix, 9, 3] (None with vectors="arith")
+    if nn_vec is None and vectors != "arith":
+        raise ValueError(
+            "geometry has no nn_vec table; build with vectors=True or "
+            'call with vectors="arith"'
+        )
 
     if sigma_chi is None:
         sigma_chi = float(np.mean(np.abs(np.diff(np.asarray(chi)))) / 2)
@@ -678,7 +685,7 @@ def za_density_sph(
     return out - 1.0
 
 
-def sph_geometry(nside, rings=False, device=True):
+def sph_geometry(nside, rings=False, device=True, vectors=True):
     """Host-precomputed geometry tables for the SPH gridder.
 
     With ``rings=True`` the dict also carries the per-ring tables the
@@ -690,6 +697,10 @@ def sph_geometry(nside, rings=False, device=True):
     lowering-time constants in the compile payload, which at nside=512
     (~0.5 GB of angpos+nn_ind+nn_vec) exceeds the tunnelled axon
     runtime's remote_compile request limit (HTTP 413).
+
+    ``vectors=False`` skips the ``nn_vec`` neighbour-vector table (the
+    largest: npix·9·3 floats) for ``vectors="arith"`` deposit callers
+    that compute the vectors on the fly with :func:`_pix2vec_jax`.
     """
     from ..healpix import pixel as hpx
 
@@ -702,15 +713,12 @@ def sph_geometry(nside, rings=False, device=True):
     nn_ind[:, 0] = np.arange(npix)
     nn_ind[:, 1:] = hpx.get_all_neighbours(nside, np.arange(npix)).T
 
-    safe = np.where(nn_ind >= 0, nn_ind, 0)
-    x, y, z = hpx.pix2vec(nside, safe.ravel())
-    nn_vec = np.stack([x, y, z], axis=-1).reshape(npix, 9, 3)
-
-    g = dict(
-        angpos=cvt(angpos),
-        nn_ind=cvt(nn_ind),
-        nn_vec=cvt(nn_vec),
-    )
+    g = dict(angpos=cvt(angpos), nn_ind=cvt(nn_ind))
+    if vectors:
+        safe = np.where(nn_ind >= 0, nn_ind, 0)
+        x, y, z = hpx.pix2vec(nside, safe.ravel())
+        nn_vec = np.stack([x, y, z], axis=-1).reshape(npix, 9, 3)
+        g["nn_vec"] = cvt(nn_vec)
     if rings:
         g.update({k: cvt(v) for k, v in _ring_tables_np(nside).items()})
     return g

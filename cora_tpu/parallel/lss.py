@@ -232,6 +232,7 @@ def shot_noise_sharded(key, std, shape, mesh, mesh_axis="freq",
 def za_density_sph_sharded(
     psi, delta_bias, delta_m, chi, nside, mesh, sigma_chi=None,
     mesh_axis="freq", halo=4, deposit="stencil", geometry=None,
+    vectors="table", stencil_window=(4, 5),
 ):
     """Zel'dovich SPH mass assignment sharded over the chi axis.
 
@@ -253,18 +254,28 @@ def za_density_sph_sharded(
     host, as :func:`cora_tpu.ops.pmesh.za_density_sph` does).
 
     ``geometry``: precomputed pixel tables (see
-    :func:`cora_tpu.ops.pmesh.sph_geometry`).  When this function runs
-    under an outer jit at large nside, build the tables OUTSIDE the
-    trace and pass them through the caller's jit arguments — tables
-    created (or closed over) inside a trace become compile-payload
-    constants, which at nside>=512 (~0.5 GB) exceeds the tunnelled
-    runtime's remote_compile request limit (HTTP 413; BASELINE.md
-    "Deposit at nside=512").
+    :func:`cora_tpu.ops.pmesh.sph_geometry`; host arrays accepted).  The
+    tables travel through the program's jit ARGUMENTS (chunk-transferred
+    via :mod:`cora_tpu.util.xfer`), never as closure constants — at
+    nside>=512 closure-captured tables (~0.5 GB) land in the compile
+    payload and exceed the tunnelled runtime's remote_compile request
+    limit (HTTP 413; BASELINE.md "Deposit at nside=512").
+
+    ``vectors="arith"`` computes neighbour centre vectors arithmetically
+    from the pixel ids (:func:`cora_tpu.ops.pmesh._pix2vec_jax`) instead
+    of gathering the ``nn_vec`` table — drops the largest table
+    (npix·9·3 floats; ~340 MB at nside=512) from both transfer and HBM,
+    and was measured 1.64× faster end-to-end on v5e (BASELINE.md
+    "Arithmetic neighbour vectors").
+
+    ``stencil_window``: (DR, DJ) belt roll-add ranges for
+    ``deposit="stencil"``; the radial range is the halo.
 
     Returns the [nchi, npix] density contrast, chi-sharded.
     """
     from ..healpix import pixel as hpx
     from ..ops import pmesh as pm
+    from ..util import xfer
 
     nchi, npix = delta_bias.shape
     n_dev = mesh.shape[mesh_axis]
@@ -280,26 +291,35 @@ def za_density_sph_sharded(
     if nchi > 1 and chi_host[1] < chi_host[0]:
         raise ValueError("za_density_sph_sharded requires ascending chi")
 
+    use_vec_table = vectors != "arith"
     if geometry is None:
-        geometry = pm.sph_geometry(nside)
-    angpos = geometry["angpos"]
-    nn_ind = geometry["nn_ind"]
-    nn_vec = geometry["nn_vec"]
+        geometry = pm.sph_geometry(nside, device=False, vectors=use_vec_table)
+    tables = [xfer.put(geometry["angpos"]), xfer.put(geometry["nn_ind"])]
+    if use_vec_table:
+        tables.append(xfer.put(geometry["nn_vec"]))
     if sigma_chi is None:
         sigma_chi = float(np.mean(np.abs(np.diff(chi_host))) / 2)
     sigma_ang = hpx.nside2resol(nside) / 2
+    DR, DJ = stencil_window
 
     spec_psi = P(None, mesh_axis, None)
     spec_f = P(mesh_axis, None)
 
+    def _rep(a):
+        return P(*(None,) * np.ndim(a))
+
     @partial(
         shard_map_compat,
         mesh=mesh,
-        in_specs=(spec_psi, spec_f, spec_f, P(None)),
+        in_specs=(
+            (spec_psi, spec_f, spec_f, P(None))
+            + tuple(_rep(t) for t in tables)
+        ),
         out_specs=spec_f,
         check_rep=False,
     )
-    def _local(psi_l, db_l, dm_l, chi_g):
+    def _local(psi_l, db_l, dm_l, chi_g, angpos, nn_ind, *nn_vec_opt):
+        nn_vec = nn_vec_opt[0] if nn_vec_opt else None
         lo = jax.lax.axis_index(mesh_axis) * nloc
         out0 = jnp.zeros((nloc + 2 * H, npix), dtype=db_l.dtype)
         nmiss0 = jnp.zeros((), jnp.int32)
@@ -323,7 +343,8 @@ def za_density_sph_sharded(
                 axis=-1,
             )
             pix_i, pix_w = pm.pixel_weights(
-                new_ang_ind, new_ang_vec, scaling, sigma_ang, nn_ind, nn_vec
+                new_ang_ind, new_ang_vec, scaling, sigma_ang, nn_ind,
+                nn_vec, nside=nside,
             )
             chi_ind = jnp.searchsorted(chi_g, new_chi)
             rad_i, rad_w = pm.radial_weights(
@@ -336,7 +357,7 @@ def za_density_sph_sharded(
                 # outliers beyond ±H poison inside (same halo contract)
                 out = pm._stencil_deposit(
                     ii_loc, density, pix_i, pix_w, rad_i - lo, rad_w,
-                    out, nside, 4, 5, H,
+                    out, nside, DR, DJ, H,
                 )
                 return (out, nmiss), None
             # global radial bin → local halo-padded row
@@ -380,13 +401,14 @@ def za_density_sph_sharded(
     with mesh:
         return jax.jit(_local)(
             jnp.asarray(psi), jnp.asarray(delta_bias),
-            jnp.asarray(delta_m), jnp.asarray(chi),
+            jnp.asarray(delta_m), jnp.asarray(chi), *tables,
         )
 
 
 def zeldovich_sharded(
     phi, delta, delta_bias, chi, D, fr, nside, mesh,
     redshift_space=True, mesh_axis="freq", halo=4,
+    deposit="stencil", vectors="table", geometry=None,
 ):
     """Full sharded Zel'dovich step: ∇φ → growth/RSD scaling → deposit.
 
@@ -400,6 +422,9 @@ def zeldovich_sharded(
     chi : [nchi] (any ordering; flipped internally to ascending).
     D : [nchi] growth factors D(z)/D(0).
     fr : [nchi] growth rates f(z) (used when redshift_space).
+    deposit, vectors, geometry :
+        Passed to :func:`za_density_sph_sharded` (geometry tables are
+        shipped through jit arguments — required at nside>=512).
     """
     from ..healpix import transforms as hputil
 
@@ -439,6 +464,10 @@ def zeldovich_sharded(
             vpsi, Dv, frv, chi_d, sin_t, jnp.asarray(delta)
         )
 
+    kw = dict(
+        mesh_axis=mesh_axis, halo=halo, deposit=deposit,
+        vectors=vectors, geometry=geometry,
+    )
     # ascending-chi requirement: flip on host if frequency-ordered
     if len(chi_host) > 1 and chi_host[1] < chi_host[0]:
         out = za_density_sph_sharded(
@@ -446,10 +475,9 @@ def zeldovich_sharded(
             np.asarray(delta_bias)[::-1],
             np.asarray(delta_m)[::-1],
             chi_host[::-1],
-            nside, mesh, mesh_axis=mesh_axis, halo=halo,
+            nside, mesh, **kw,
         )
         return np.asarray(out)[::-1]
     return za_density_sph_sharded(
-        vpsi_s, delta_bias, delta_m, chi_host, nside, mesh,
-        mesh_axis=mesh_axis, halo=halo,
+        vpsi_s, delta_bias, delta_m, chi_host, nside, mesh, **kw,
     )

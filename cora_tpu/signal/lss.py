@@ -524,10 +524,16 @@ class ZeldovichDynamics(DynamicsBase):
 
     sph = Property(proptype=bool, default=True)
     mesh_halo = Property(proptype=int, default=4)
-    # SPH mass-deposit algorithm (single-device path): "auto"/"scatter",
-    # or "stencil" — belt roll-adds, 1.9x on v5e (tools/bench_stencil.*;
-    # poisons on >window displacements rather than dropping mass)
+    # SPH mass-deposit algorithm: "auto" (scatter single-device, stencil
+    # on a mesh), "scatter", or "stencil" — belt roll-adds, 2.4x on v5e
+    # (tools/bench_stencil.*; poisons on >window displacements rather
+    # than dropping mass)
     deposit = Property(proptype=str, default="auto")
+    # neighbour centre vectors: "table" (precomputed, gathered) or
+    # "arith" (computed from pixel ids on the fly — drops the largest
+    # geometry table, 1.64x faster on v5e, f32 weight change ~4e-7;
+    # required headroom for nside>=512 deposits)
+    vectors = Property(proptype=str, default="table")
 
     def process(self, initial_field: InitialLSS, biased_field: BiasedLSS) -> BiasedLSS:
         self._validate_fields(initial_field, biased_field)
@@ -541,6 +547,12 @@ class ZeldovichDynamics(DynamicsBase):
 
             self.log.info(f"Zel'dovich step on a {mesh.shape} device mesh")
             final_field = BiasedLSS(axes_from=biased_field, attrs_from=biased_field)
+            # geometry tables built on host once and shipped through the
+            # deposit's jit arguments (closure constants exceed remote
+            # compile payload limits at nside>=512)
+            geometry = pmesh_ops.sph_geometry(
+                nside, device=False, vectors=self.vectors != "arith"
+            )
             out = zeldovich_sharded(
                 initial_field.phi,
                 initial_field.delta,
@@ -552,6 +564,9 @@ class ZeldovichDynamics(DynamicsBase):
                 mesh,
                 redshift_space=self.redshift_space,
                 halo=self.mesh_halo,
+                deposit="stencil" if self.deposit == "auto" else self.deposit,
+                vectors=self.vectors,
+                geometry=geometry,
             )
             final_field.delta[:] = np.asarray(out)
             return final_field
@@ -584,6 +599,7 @@ class ZeldovichDynamics(DynamicsBase):
                 nside,
                 sigma_chi=sigma_chi,
                 deposit=self.deposit,
+                vectors=self.vectors,
             )
             final_field.delta[:] = np.asarray(out)
         else:

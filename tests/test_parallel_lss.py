@@ -201,6 +201,53 @@ def test_za_density_sph_sharded_matches_single_device():
 
 @requires_multi
 @pytest.mark.slow
+def test_za_density_sph_sharded_arith_geometry_args():
+    """Arith-vector sharded deposit with caller-built host geometry.
+
+    This is the nside>=512 configuration (BASELINE.md "Deposit at
+    nside=512"): geometry built on host WITHOUT the nn_vec table and
+    shipped through the program's jit arguments; neighbour vectors
+    computed arithmetically in-graph.  Must equal the single-device
+    arith deposit.
+    """
+    from cora_tpu.ops import pmesh
+
+    nside, nchi = 8, 32
+    npix = 12 * nside**2
+    chi = np.linspace(900.0, 1000.0, nchi)
+    rng = np.random.default_rng(11)
+    dchi = float(np.mean(np.diff(chi)))
+    psi = np.stack([
+        0.3 * dchi * rng.standard_normal((nchi, npix)),
+        2e-3 * rng.standard_normal((nchi, npix)),
+        2e-3 * rng.standard_normal((nchi, npix)),
+    ])
+    delta_b = 0.1 * rng.standard_normal((nchi, npix))
+    delta_m = 0.1 * rng.standard_normal((nchi, npix))
+
+    geom = pmesh.sph_geometry(nside, device=False, vectors=False)
+    assert "nn_vec" not in geom  # the big table is never built
+
+    mesh = make_mesh(8)
+    got = np.asarray(
+        plss.za_density_sph_sharded(
+            psi, delta_b, delta_m, chi, nside, mesh, halo=4,
+            vectors="arith", geometry=geom,
+        )
+    )
+    want = np.asarray(
+        pmesh.za_density_sph(
+            jnp.asarray(psi), jnp.asarray(delta_b), jnp.asarray(delta_m),
+            jnp.asarray(chi), nside, vectors="arith",
+        )
+    )
+    assert np.isfinite(got).all()
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 1e-10 * scale
+
+
+@requires_multi
+@pytest.mark.slow
 def test_za_density_sph_sharded_poisons_on_halo_overflow():
     nside, nchi = 4, 16
     npix = 12 * nside**2
