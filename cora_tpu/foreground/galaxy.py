@@ -59,6 +59,41 @@ def map_variance(input_map, nside):
     return hpx.reorder(var_map, n2r=True)
 
 
+def _derived_cache(tag, inp, compute, extra=""):
+    """Disk-cache a derived map that is a pure function of ``inp``.
+
+    The ConstrainedGalaxy amplitude map and Faraday window widths are
+    deterministic transforms of fixed survey data, yet cost ~2 minutes of
+    host f64 smoothing per process at the skydata's native resolution —
+    the dominant cold cost of the polarised galaxy path
+    (tools/galaxy_profile.py).  Key: content hash of the input map (so an
+    upstream-skydata override via CORA_TPU_SKYDATA gets its own entries)
+    plus any extra parameters; store: the per-user table cache dir.
+    """
+    import hashlib
+
+    from ..healpix.sht import _user_cache_dir
+
+    d = _user_cache_dir()
+    if d is None:
+        return compute()
+    h = hashlib.sha1(
+        np.ascontiguousarray(np.asarray(inp)).tobytes()
+    ).hexdigest()[:16]
+    path = os.path.join(d, f"galaxy_{tag}_{h}{extra}.npy")
+    if os.path.exists(path):
+        try:
+            return np.load(path)
+        except Exception:
+            pass
+    out = np.asarray(compute())
+    try:
+        np.save(path, out)
+    except OSError:
+        pass
+    return out
+
+
 def chunk_var(a):
     """Memory-frugal variance over a large array."""
     a = np.asarray(a)
@@ -194,13 +229,16 @@ class ConstrainedGalaxy(maps.Sky3d):
         # runtime's broken f64/complex copies.
         self._load_data()
 
-        vm = map_variance(_sht.smoothing(self._haslam, sigma=np.radians(0.5)), 16)
-        self._amp_map = np.asarray(
-            _sht.smoothing(
+        def _build_amp_map():
+            vm = map_variance(
+                _sht.smoothing(self._haslam, sigma=np.radians(0.5)), 16
+            )
+            return _sht.smoothing(
                 hpx.ud_grade(np.asarray(vm) ** 0.5, self._data_nside),
                 sigma=np.radians(2.0),
             )
-        )
+
+        self._amp_map = _derived_cache("ampmap", self._haslam, _build_amp_map)
 
     def _load_data(self):
         f = skydata.load_skydata()
@@ -301,13 +339,18 @@ class ConstrainedGalaxy(maps.Sky3d):
         if cached is not None and cached[0] == self.nside:
             return cached[1]
 
-        from ..util.compute import accel_device
+        def _build():
+            from ..util.compute import accel_device
 
-        with accel_device():
-            sm = _sht.smoothing_grid(
-                np.abs(np.asarray(self._faraday)), fwhm=np.radians(10.0)
-            )
-        out = hpx.ud_grade(sm.astype(np.float64), self.nside)
+            with accel_device():
+                sm = _sht.smoothing_grid(
+                    np.abs(np.asarray(self._faraday)), fwhm=np.radians(10.0)
+                )
+            return hpx.ud_grade(sm.astype(np.float64), self.nside)
+
+        out = _derived_cache(
+            "sigmaphi", self._faraday, _build, extra=f"_{self.nside}"
+        )
         self._sigma_phi_cache = (self.nside, out)
         return out
 
