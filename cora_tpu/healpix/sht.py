@@ -901,7 +901,7 @@ def _fft_last(op, t, x, inverse=False):
         n1, n2 = op._fft_n1n2
         key = "ifft" if inverse else "fft"
         tab = {"W1": t[key + "W1"], "T": t[key + "T"], "W2": t[key + "W2"]}
-        y = fftmm._apply(x, tab, n1, n2, op.precision)
+        y = fftmm._apply(x, tab, n1, n2, op.fft_precision, cmul=op.fft_cmul)
         return y / op.nfft if inverse else y
     if inverse:
         return jnp.fft.ifft(x, axis=-1)
@@ -957,8 +957,8 @@ def _fft2_last(op, t, x, inverse=False, in_len=None, out_len=None):
         n1, n2 = op._fft2_n1n2
         key = "ifft2" if inverse else "fft2"
         tab = {"W1": t[key + "W1"], "T": t[key + "T"], "W2": t[key + "W2"]}
-        y = fftmm._apply(x, tab, n1, n2, op.precision,
-                         in_len=in_len, out_len=out_len)
+        y = fftmm._apply(x, tab, n1, n2, op.fft_precision,
+                         in_len=in_len, out_len=out_len, cmul=op.fft_cmul)
         return y / op.nfft2 if inverse else y
     if inverse:
         return jnp.fft.ifft(x, axis=-1)
@@ -1009,7 +1009,7 @@ def _fftW_last(op, t, x, inverse=False):
         n1, n2 = op._fftW_n1n2
         key = "ifftW" if inverse else "fftW"
         tab = {"W1": t[key + "W1"], "T": t[key + "T"], "W2": t[key + "W2"]}
-        y = fftmm._apply(x, tab, n1, n2, op.precision)
+        y = fftmm._apply(x, tab, n1, n2, op.fft_precision, cmul=op.fft_cmul)
         return y / (4 * op.nside) if inverse else y
     if inverse:
         return jnp.fft.ifft(x, axis=-1)
@@ -1043,8 +1043,8 @@ def _fftB(op, t, x, n_b, inverse=False, in_len=None, out_len=None):
         "T": t[f"{key}{n_b}T"],
         "W2": t[f"{key}{n_b}W2"],
     }
-    y = fftmm._apply(x, tab, n1, n2, op.precision,
-                     in_len=in_len, out_len=out_len)
+    y = fftmm._apply(x, tab, n1, n2, op.fft_precision,
+                     in_len=in_len, out_len=out_len, cmul=op.fft_cmul)
     return y / n_b if inverse else y
 
 
@@ -1164,7 +1164,7 @@ def _eq_real_synth(op, t, A, G0):
     if op.fft_mode == "mm":
         n1, n2 = op._fftW2_n1n2
         tab = {"W1": t["ifftW2W1"], "T": t["ifftW2T"], "W2": t["ifftW2W2"]}
-        z = fftmm._apply(Z, tab, n1, n2, op.precision)
+        z = fftmm._apply(Z, tab, n1, n2, op.fft_precision, cmul=op.fft_cmul)
     else:
         z = jnp.fft.ifft(Z, axis=-1) * W2
 
@@ -1505,6 +1505,8 @@ class SHT:
         ckpt_every: int = 1,
         cap_bands: int | None = None,
         lambda_build: str = "host",
+        fft_cmul: str = "xla",
+        fft_precision: str | None = None,
     ):
         self.nside = int(nside)
         self.lmax = int(lmax)
@@ -1522,6 +1524,17 @@ class SHT:
         # restores true f32 and meets the 1e-5 accuracy contract
         # (measured: 2.7e-7 RMS at nside=128; tools/tpu_validate.py).
         self.precision = precision
+        # complex-matmul lowering for the matmul-FFT stages: "xla" (4 real
+        # dots) or "karatsuba" (3 real dots — 25% fewer MXU FLOPs, one
+        # extra elementwise pass; exactness asserted in tests/test_sht.py)
+        self.fft_cmul = fft_cmul
+        # separate precision for the ring-FFT matmuls: the Legendre
+        # contraction keeps `precision`, the twiddle DFTs can run at
+        # "high" (3-pass bf16, ~f32 accuracy class) — the ring stage is
+        # MXU-pass-bound (tools/ring_profile: cap 22.3 → 10.7 ms at
+        # nside=256 × 64) while the accuracy cost is measured in
+        # tools/fft_precision_probe.py
+        self.fft_precision = precision if fft_precision is None else fft_precision
 
         info = pixel.ring_info(nside)
         nring = info["theta"].size

@@ -21,7 +21,30 @@ Twiddle matrices are precomputed host-side and passed in as device tables
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+
+def _ceinsum(sub, x, W, precision, cmul="xla"):
+    """Complex einsum, optionally via 3-multiplication Karatsuba.
+
+    XLA lowers a complex dot to FOUR real dots (rr, ii, ri, ir); the
+    Karatsuba/Gauss form needs THREE — p1 = xr·Wr, p2 = xi·Wi,
+    p3 = (xr+xi)·(Wr+Wi); re = p1−p2, im = p3−p1−p2 — a 25% MXU-FLOP
+    cut on the matmul-FFT stages at the cost of one extra elementwise
+    pass over x.  The imaginary part picks up one extra rounding
+    (cancellation in p3−p1−p2), same error class as the 4-dot form at
+    f32; exactness vs the XLA lowering is asserted in
+    tests/test_sht.py.
+    """
+    if cmul != "karatsuba" or not jnp.iscomplexobj(x):
+        return jnp.einsum(sub, x, W, precision=precision)
+    xr, xi = jnp.real(x), jnp.imag(x)
+    Wr, Wi = jnp.real(W), jnp.imag(W)
+    p1 = jnp.einsum(sub, xr, Wr, precision=precision)
+    p2 = jnp.einsum(sub, xi, Wi, precision=precision)
+    p3 = jnp.einsum(sub, xr + xi, Wr + Wi, precision=precision)
+    return jax.lax.complex(p1 - p2, p3 - p1 - p2)
 
 
 def _split(n):
@@ -74,7 +97,8 @@ def dft_tables(n, dtype=np.complex64):
     return tabs
 
 
-def _apply(x, tab, n1, n2, precision="highest", in_len=None, out_len=None):
+def _apply(x, tab, n1, n2, precision="highest", in_len=None, out_len=None,
+           cmul="xla"):
     """One DFT direction over the last axis of x (length n1*n2).
 
     ``precision`` guards against TPU bf16 matmul passes: FFT twiddle
@@ -98,7 +122,7 @@ def _apply(x, tab, n1, n2, precision="highest", in_len=None, out_len=None):
         xr = xr[..., :n1v, :]
         W1 = W1[:n1v, :]
     # step 1: DFT over n1 → A[k1, n2]
-    A = jnp.einsum("...nj,nk->...kj", xr, W1, precision=precision)
+    A = _ceinsum("...nj,nk->...kj", xr, W1, precision, cmul)
     # step 2: twiddle
     A = A * tab["T"]
     W2 = tab["W2"]
@@ -107,7 +131,7 @@ def _apply(x, tab, n1, n2, precision="highest", in_len=None, out_len=None):
         n2v = -(-out_len // n1)
         W2 = W2[:, :n2v]
     # step 3: DFT over n2 → Y[k1, k2]
-    Y = jnp.einsum("...kj,jl->...kl", A, W2, precision=precision)
+    Y = _ceinsum("...kj,jl->...kl", A, W2, precision, cmul)
     # output ordering: X[k1 + n1*k2] → transpose to [k2, k1]
     out = jnp.swapaxes(Y, -1, -2).reshape(shape[:-1] + (n1 * n2v,))
     if n2v != n2:

@@ -258,6 +258,16 @@ def test_split_ring_mode_matches_bluestein():
     gc = np.asarray(_synthesis_grid(op_c, tc, jnp.asarray(alm)))
     assert np.abs(gc - gs).max() < 1e-12 * np.abs(gs).max()
 
+    # Karatsuba complex-matmul lowering (3 real dots) must match the XLA
+    # 4-dot lowering to rounding; roundtrip analysis too
+    op_k = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm",
+               ring_mode="split", fft_cmul="karatsuba")
+    tk = op_k.tables(True)
+    gk = np.asarray(_synthesis_grid(op_k, tk, jnp.asarray(alm)))
+    assert np.abs(gk - gs).max() < 1e-11 * np.abs(gs).max()
+    Gk = np.asarray(_grid_to_rings(op_k, tk, jnp.asarray(fg), jnp.complex128))
+    assert np.abs(Gk - Gs).max() < 1e-11 * np.abs(Gs).max()
+
 
 @pytest.mark.slow
 def test_analysis_cg_beats_jacobi():

@@ -44,6 +44,9 @@ def main():
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--capsub", type=int, default=None)
     p.add_argument("--prec", default="highest")
+    p.add_argument("--fftprec", default=None,
+                   help="fft_precision override (Legendre keeps --prec)")
+    p.add_argument("--cmul", default="xla", choices=["xla", "karatsuba"])
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -73,6 +76,7 @@ def main():
     t0 = time.time()
     op = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm",
              l_chunk=args.lchunk, cap_sub=args.capsub, precision=args.prec,
+             fft_cmul=args.cmul, fft_precision=args.fftprec,
              lambda_build="device",
              ckpt_cache=os.path.join(
                  cache_dir, f"ck_{nside}_{args.lchunk}_1.npz"),
