@@ -2231,6 +2231,9 @@ def get_sht(
         fft_mode = "xla" if on_cpu else "mm"
     if lambda_build is None:
         lambda_build = "host" if on_cpu else "device"
+    # Karatsuba complex matmuls win 7.5% full-step on v5e at identical
+    # accuracy (tools/cmul_compare.py + fft_precision_probe.py) but lose
+    # ~1.5x on CPU — accelerator-only default.
     return _get_sht_cached(
         nside, lmax, l_chunk, legendre_mode, fft_mode, lambda_build,
         on_cpu,
@@ -2246,6 +2249,7 @@ def _get_sht_cached(nside, lmax, l_chunk, legendre_mode, fft_mode,
         nside, lmax, l_chunk=l_chunk, legendre_mode=legendre_mode,
         fft_mode=fft_mode, scan_ckpt=legendre_mode == "scan" and not on_cpu,
         lambda_build=lambda_build,
+        fft_cmul="xla" if on_cpu else "karatsuba",
         lambda_cache=cdir and f"{cdir}/lam_{nside}_{lmax}_{l_chunk}.npz",
         ckpt_cache=cdir and f"{cdir}/ck_{nside}_{lmax}_{l_chunk}_{ke}.npz",
         # keep the checkpoint table bounded as lmax grows (it scales as
