@@ -27,6 +27,9 @@ p.add_argument("--lchunk", type=int, default=64)
 p.add_argument("--reps", type=int, default=5)
 p.add_argument("--variants", default="xla,karatsuba,high",
                help="comma list from {xla, karatsuba, high}")
+p.add_argument("--capbands", default=None,
+               help="comma list of cap_bands values to sweep (with the "
+                    "first variant's cmul settings)")
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 
@@ -62,15 +65,27 @@ _ALL = {
     "high": ("xla/high", dict(fft_cmul="xla", fft_precision="high")),
 }
 variants = [_ALL[v] for v in args.variants.split(",")]
+if args.capbands:
+    base = variants[0][1]
+    variants = [
+        (f"{variants[0][0]}/cb{cb}", dict(base, cap_bands=int(cb)))
+        for cb in args.capbands.split(",")
+    ]
 
 out = {}
+t_shared = None
 for name, kw in variants:
     op = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm",
              l_chunk=args.lchunk, precision="highest",
              lambda_build="device",
              lambda_cache=os.path.join(cache_dir, f"lam_{nside}_{args.lchunk}.npz"),
              **kw)
-    t = xfer.put_tree(op.tables(False))
+    # device tables are pure functions of (nside, lmax, l_chunk, banding)
+    # — identical across cmul/precision variants; build once and share
+    # (a second per-variant copy OOMs HBM at nside=512: multi-GB Λ)
+    if t_shared is None or args.capbands:
+        t_shared = xfer.put_tree(op.tables(False))
+    t = t_shared
 
     def _one(key, r, tt, _op=op):
         return synthesis_scan_correlated(
@@ -93,5 +108,15 @@ for name, kw in variants:
     out[name] = round(best, 4)
     print(f"# {name:20s}: {best:.4f}s (warm {warm:.1f}s, sum {s:.4e})",
           file=sys.stderr)
+    # drop this variant's compiled executable (its temporaries can pin
+    # HBM on this backend) before the next one compiles
+    import gc
+
+    del fn
+    if args.capbands:
+        t_shared = None
+        del t
+    jax.clear_caches()
+    gc.collect()
 
 print(json.dumps({"nside": nside, "nfreq": nfreq, **out}))
