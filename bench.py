@@ -185,7 +185,12 @@ def main():
               file=sys.stderr)
     setup["roots_s"] = round(time.time() - t0, 1)
 
-    cmul = args.cmul or ("xla" if dev.platform == "cpu" else "karatsuba")
+    # karatsuba wins 7.5% at 256×64 (fchunk=32) but loses ~1% at the
+    # flagship's thin fchunk=4 ring batches (same-process head-to-heads,
+    # tools/cmul_compare_{256,512}.out) — batch-width-dependent default
+    cmul = args.cmul or (
+        "xla" if (dev.platform == "cpu" or args.nside > 256) else "karatsuba"
+    )
     t0 = time.time()
     op = SHT(nside, lmax, legendre_mode=args.legmode, fft_mode="mm",
              l_chunk=args.lchunk, cap_sub=args.capsub, precision=args.prec,
