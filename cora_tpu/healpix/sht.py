@@ -442,9 +442,16 @@ def synthesis_scan_correlated(op, t, roots, key, nz_leg, nz_ring, consume,
     """
     from jax import lax
 
-    nz = roots.shape[-1]
-    if nz % nz_leg or nz_leg % nz_ring:
-        raise ValueError("nz_leg must divide nz and nz_ring divide nz_leg")
+    # Sweep bound is the OUTPUT-ROW axis (shape[-2]), not the latent axis:
+    # a mesh-sharded caller passes roots rows [L, nloc, nz] and must sweep
+    # only its nloc local rows (sweeping nz//nz_leg chunks is benign-but-
+    # redundant — the clamped dynamic_slice recomputes row 0's chunks and
+    # the sequential fori_loop's last write restores every slot — but costs
+    # up to n_dev x the Legendre work per device).
+    nz_out = roots.shape[-2]
+    if nz_out % nz_leg or nz_leg % nz_ring:
+        raise ValueError("nz_leg must divide the output-row count and "
+                         "nz_ring divide nz_leg")
 
     cached = "lam" in t
     roots_p = (
@@ -469,7 +476,7 @@ def synthesis_scan_correlated(op, t, roots, key, nz_leg, nz_ring, consume,
 
         return lax.fori_loop(0, nz_leg // nz_ring, ring_body, carry)
 
-    return lax.fori_loop(0, nz // nz_leg, leg_body, init)
+    return lax.fori_loop(0, nz_out // nz_leg, leg_body, init)
 
 
 def _legendre_project_cached(op, t, G):
