@@ -176,6 +176,107 @@ def synthesize_cube_sharded(
         return jax.jit(_local)(roots_d, key)
 
 
+def synthesize_cube_sims_sharded(
+    op, tables, roots, key, n_sims, mesh,
+    fchunk=None, fleg=None, sim_axis="sim", freq_axis=None,
+):
+    """Independent realisations sharded over the mesh (data parallelism).
+
+    The reference's throughput axis is ``num_sims`` — independent sky
+    realisations looped over MPI ranks (reference cora/signal/lss.py:394).
+    Here sims are a mesh axis: every device runs the tuned SINGLE-sim
+    streamed synthesis program for its own subset of realisations, with
+    zero collectives.  This is the right TPU throughput mode: the
+    single-chip ``--sims`` vmap batches realisations *within* one chip and
+    was a measured negative (the ring accumulators scale with fleg × sims,
+    forcing fleg down — BASELINE.md "Batched realisations"); across
+    devices there is no such coupling.
+
+    Per-sim keys are ``fold_in(key, s)`` with the GLOBAL sim index s, so
+    the realisations are independent of the device layout: sim s is
+    bit-identical whether drawn here, on a different mesh shape, or by a
+    single-device :func:`synthesis_scan_correlated` run.
+
+    Parameters
+    ----------
+    op, tables : SHT operator and its device tables.
+    roots : [L, nz, nz] per-ell covariance roots (replicated).
+    key : base PRNG key; sim s uses ``fold_in(key, s)``.
+    n_sims : total realisation count; divisible by the sim-axis size.
+    fleg, fchunk : per-device Legendre / ring frequency chunking (the
+        single-sim tuning knobs; default one full sweep).
+    freq_axis : optional second mesh axis — shard the frequency rows of
+        each sim over it as in :func:`synthesize_cube_sharded` (still
+        zero-collective: devices in a freq group regenerate the identical
+        white noise from the sim's key).
+
+    Returns
+    -------
+    [n_sims, nz, nring, nq_max] dense ring-grid cubes, sharded
+    (sim × freq) over the first two axes.
+    """
+    from functools import partial
+
+    from ..healpix.sht import synthesis_scan_correlated
+
+    shard_map = shard_map_compat
+    n_sim_dev = mesh.shape[sim_axis]
+    if n_sims % n_sim_dev:
+        raise ValueError(
+            f"n_sims={n_sims} not divisible by sim mesh size {n_sim_dev}"
+        )
+    sloc = n_sims // n_sim_dev
+    L, _, nz = roots.shape
+    n_freq_dev = mesh.shape[freq_axis] if freq_axis else 1
+    if nz % n_freq_dev:
+        raise ValueError(
+            f"nz={nz} not divisible by freq mesh size {n_freq_dev}"
+        )
+    nloc = nz // n_freq_dev
+    fleg = min(fleg or nloc, nloc)
+    fchunk = min(fchunk or fleg, fleg)
+
+    spec_r = P(None, freq_axis, None)  # freq_axis=None -> replicated
+    spec_o = P(sim_axis, freq_axis, None, None)
+    # tables may hold tuples of arrays (cached-Λ chunks): spec per leaf
+    t_specs = jax.tree.map(lambda v: P(*([None] * jnp.ndim(v))), tables)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(t_specs, spec_r, P()),
+        out_specs=spec_o,
+        check_rep=False,
+    )
+    def _local(t_loc, roots_rows, key):
+        sidx = jax.lax.axis_index(sim_axis)
+        nring = 4 * op.nside - 1
+        nq = t_loc["bl_C"].shape[-1]
+
+        def one(s):
+            k = jax.random.fold_in(key, sidx * sloc + s)
+            out = jnp.zeros((nloc, nring, nq), jnp.float32)
+            return synthesis_scan_correlated(
+                op, t_loc, roots_rows, k, fleg, fchunk,
+                lambda g, z, acc: jax.lax.dynamic_update_slice_in_dim(
+                    acc, g, z, axis=0
+                ),
+                out,
+            )
+
+        return jax.lax.map(one, jnp.arange(sloc))
+
+    with mesh:
+        t_dev = jax.tree.map(
+            lambda v, s: jax.device_put(v, NamedSharding(mesh, s)),
+            tables, t_specs,
+        )
+        roots_d = jax.device_put(
+            jnp.asarray(roots), NamedSharding(mesh, spec_r)
+        )
+        return jax.jit(_local)(t_dev, roots_d, key)
+
+
 def synthesize_cube_sharded_2d(
     op, tables, roots, key, mesh, fchunk=None,
     freq_axis="freq", band_axis="band",

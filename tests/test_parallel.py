@@ -212,3 +212,55 @@ def test_synthesize_cube_sharded_2d(mesh_shape, fchunk):
     )
     assert cube.shape == ref.shape
     assert np.abs(cube - ref).max() < 1e-6 * max(1.0, np.abs(ref).max())
+
+
+@requires_multi
+@pytest.mark.parametrize(
+    "mesh_axes,freq_axis",
+    [((("sim", 8),), None), ((("sim", 4), ("freq", 2)), "freq")],
+)
+def test_synthesize_cube_sims_sharded(mesh_axes, freq_axis):
+    """Sims-over-mesh DP == per-sim single-device synthesis, bit-exact.
+
+    The reference's num_sims loop over MPI ranks (lss.py:394) as a mesh
+    axis; sim s must be the same realisation regardless of the device
+    layout (keys are fold_in(key, global s))."""
+    from jax.sharding import Mesh
+    from cora_tpu.healpix.sht import SHT, synthesis_scan_correlated
+    from cora_tpu.parallel.mesh import synthesize_cube_sims_sharded
+
+    nside, nz, n_sims = 16, 8, 8
+    lmax = 3 * nside - 1
+    op = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm", l_chunk=16)
+    t = op.tables(False)
+    rng = np.random.RandomState(3)
+    roots = rng.randn(lmax + 1, nz, nz).astype(np.float32) * 0.1
+    key = jax.random.PRNGKey(11)
+
+    shape = tuple(n for _, n in mesh_axes)
+    names = tuple(a for a, _ in mesh_axes)
+    devs = np.array(jax.devices()[:8]).reshape(shape)
+    mesh = Mesh(devs, names)
+
+    cubes = np.asarray(
+        synthesize_cube_sims_sharded(
+            op, t, roots, key, n_sims, mesh, fchunk=4, freq_axis=freq_axis
+        )
+    )
+    nring = 4 * nside - 1
+    assert cubes.shape == (n_sims, nz, nring, cubes.shape[-1])
+
+    for s in (0, 3, 7):
+        ks = jax.random.fold_in(key, s)
+        out = jnp.zeros((nz, nring, cubes.shape[-1]), jnp.float32)
+        ref = np.asarray(
+            synthesis_scan_correlated(
+                op, t, jnp.asarray(roots), ks, nz if freq_axis is None else nz // 2,
+                4,
+                lambda g, z, acc: jax.lax.dynamic_update_slice_in_dim(
+                    acc, g, z, axis=0
+                ),
+                out,
+            )
+        )
+        assert np.abs(cubes[s] - ref).max() == 0.0
