@@ -307,7 +307,7 @@ def synthesis_grid_correlated(op, t, roots, key, z_lo, nz_chunk):
     if "lam" not in t:  # scan mode: Λ-free streamed path
         Ge, Go = _correlated_GeGo_scan(op, t, jnp.asarray(roots), key,
                                        z_lo, nz_chunk)
-        return _rings_to_grid(op, t, _expand_rings(op, t, Ge, Go))
+        return _rings_to_grid_parity(op, t, Ge, Go)
 
     # parity-packed ell order (matches the Λ chunk layout)
     roots_p = jnp.concatenate([roots[0::2], roots[1::2]], axis=0)
@@ -318,8 +318,7 @@ def synthesis_grid_correlated(op, t, roots, key, z_lo, nz_chunk):
         Ge, Go = _legendre_contract_streamed(
             op, t, alm_blk, (nz_chunk, 2), jnp.float32, expand=False
         )
-    G = _expand_rings(op, t, _join_planes(Ge), _join_planes(Go))
-    return _rings_to_grid(op, t, G)
+    return _rings_to_grid_parity(op, t, _join_planes(Ge), _join_planes(Go))
 
 
 def _join_planes(x):
@@ -471,7 +470,7 @@ def synthesis_scan_correlated(op, t, roots, key, nz_leg, nz_ring, consume,
         def ring_body(j, carry2):
             ge = lax.dynamic_slice_in_dim(Ge, j * nz_ring, nz_ring, axis=0)
             go = lax.dynamic_slice_in_dim(Go, j * nz_ring, nz_ring, axis=0)
-            g = _rings_to_grid(op, t, _expand_rings(op, t, ge, go))
+            g = _rings_to_grid_parity(op, t, ge, go)
             return consume(g, z0 + j * nz_ring, carry2)
 
         return lax.fori_loop(0, nz_leg // nz_ring, ring_body, carry)
@@ -1179,6 +1178,174 @@ def _eq_real_synth(op, t, A, G0):
     return f - G0
 
 
+def _cap_sub_batched2(op, fn, t, Ge, Go):
+    """Pair twin of :func:`_cap_sub_batched` for the parity cap synthesis
+    (sub-batches the even/odd accumulators together)."""
+    s = op.cap_sub
+    if s and Ge.ndim == 3 and Ge.shape[0] > s and Ge.shape[0] % s == 0:
+        k = Ge.shape[0] // s
+        Ger = Ge.reshape((k, s) + Ge.shape[1:])
+        Gor = Go.reshape((k, s) + Go.shape[1:])
+        out = jax.lax.map(lambda ab: fn(op, t, ab[0], ab[1]), (Ger, Gor))
+        return out.reshape((Ge.shape[0],) + out.shape[2:])
+    return fn(op, t, Ge, Go)
+
+
+def _cap_real_synth_parity(op, t, Ge, Go):
+    """Dense-cap Bluestein synthesis from the even/odd accumulators.
+
+    North cap row r < lo: f = T(Gn)[r] with Gn = Ge + Go; its mirror
+    (global row nring−1−r) is T(Gs)[r] with Gs = Ge − Go and the SAME
+    chirp/kernel rows (mirror tables are bitwise equal — op._ns_symmetric).
+    The convolution is real-linear, so run it once on the stacked
+    [Ge; Go] cap rows and form the ± combinations on the (narrower, real)
+    outputs — the expanded full-ring G never exists.
+
+    Returns fcap in the Gcap row order of :func:`_cap_real_synth`
+    ([north asc; south asc-by-global-row]).
+    """
+    cdtype = Ge.dtype
+    lo = op._eq_lo
+    nq_cap = t["bl_C_cap"].shape[-1]
+    A_n = t["bl_A_cap"][:lo].astype(cdtype)
+    Bf_n = t["bl_Bf_cap"][:lo].astype(cdtype)
+    C_n = t["bl_C_cap"][:lo].astype(cdtype)
+
+    g = jnp.concatenate([Ge[..., :lo, :], Go[..., :lo, :]], axis=-2)
+    a = g * jnp.concatenate([A_n, A_n], axis=0)
+    L_in = a.shape[-1]
+    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, op.nfft2 - a.shape[-1])])
+    conv = _fft2_last(
+        op, t,
+        _fft2_last(op, t, a, in_len=L_in)
+        * jnp.concatenate([Bf_n, Bf_n], axis=0),
+        inverse=True, out_len=nq_cap,
+    )
+    Se = conv[..., :lo, :nq_cap]
+    So = conv[..., lo:, :nq_cap]
+    valid = (C_n != 0.0).astype(jnp.float32)
+    # 2·Re((Se ± So)·C) − Re(Ge ± Go)_0, still in north row order
+    SnC = (Se + So) * C_n
+    SsC = (Se - So) * C_n
+    fn_ = 2.0 * SnC.real - (Ge + Go)[..., :lo, 0:1].real * valid
+    fs = 2.0 * SsC.real - (Ge - Go)[..., :lo, 0:1].real * valid
+    # south rows ascend in global index = DESCENDING northern mirror index
+    return jnp.concatenate([fn_, fs[..., ::-1, :]], axis=-2)
+
+
+def _cap_band_conv_parity(op, t, Ge, Go, b, real_out):
+    """Parity twin of :func:`_cap_band_conv` — see _cap_real_synth_parity."""
+    i0, i1, M, q, n_b = op._cap_bands[b]
+    R = i1 - i0
+    cdtype = Ge.dtype
+    A_n = t[f"bl_A_cb{b}"][:R].astype(cdtype)
+    Bf_n = t[f"bl_Bf_cb{b}"][:R].astype(cdtype)
+    C_n = t[f"bl_C_cb{b}"][:R].astype(cdtype)
+
+    g = jnp.concatenate(
+        [Ge[..., i0:i1, :M], Go[..., i0:i1, :M]], axis=-2
+    )
+    a = g * jnp.concatenate([A_n, A_n], axis=0)
+    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, n_b - a.shape[-1])])
+    conv = _fftB(
+        op, t,
+        _fftB(op, t, a, n_b, in_len=M)
+        * jnp.concatenate([Bf_n, Bf_n], axis=0),
+        n_b, inverse=True, out_len=q,
+    )
+    Se = conv[..., :R, :q]
+    So = conv[..., R:, :q]
+    SnC = (Se + So) * C_n
+    SsC = (Se - So) * C_n
+    if not real_out:
+        return SnC, SsC[..., ::-1, :]
+    valid = (C_n != 0.0).astype(jnp.float32)
+    fn_ = 2.0 * SnC.real - (Ge + Go)[..., i0:i1, 0:1].real * valid
+    fs = 2.0 * SsC.real - (Ge - Go)[..., i0:i1, 0:1].real * valid
+    return fn_, fs[..., ::-1, :]
+
+
+def _cap_real_synth_banded_parity(op, t, Ge, Go):
+    """Banded parity cap synthesis, assembled in Gcap row order."""
+    out_w = t["bl_C_cap"].shape[-1]
+    north, south = [], []
+    for b in range(len(op._cap_bands)):
+        q = op._cap_bands[b][3]
+        fn_, fs = _cap_band_conv_parity(op, t, Ge, Go, b, True)
+        if out_w > q:
+            padc = [(0, 0)] * (fn_.ndim - 1) + [(0, out_w - q)]
+            fn_ = jnp.pad(fn_, padc)
+            fs = jnp.pad(fs, padc)
+        north.append(fn_)
+        south.append(fs)
+    return jnp.concatenate(north + south[::-1], axis=-2)
+
+
+def _rings_to_grid_parity(op, t, Ge, Go):
+    """Dense ring-grid synthesis straight from the even/odd accumulators.
+
+    :func:`_expand_rings` materialises the full [..., nring, M] complex G
+    (a where + two gathers over HBM) only for the split ring stage to
+    re-slice it into eq/cap row blocks.  All ring transforms are
+    real-linear and the mirror tables are bitwise equal
+    (op._ns_symmetric), so south rows are T(Ge) − T(Go) with rows
+    reversed: run each transform on the stacked half-size accumulators
+    and combine on the small real outputs instead.  Falls back to
+    expand + :func:`_rings_to_grid` when the fast-path preconditions
+    don't hold.
+    """
+    if not (op.ring_mode == "split" and "eq_phase" in t
+            and getattr(op, "_ns_symmetric", False)
+            and jnp.iscomplexobj(Ge)):
+        return _rings_to_grid(op, t, _expand_rings(op, t, Ge, Go))
+
+    cdtype = Ge.dtype
+    lo, hi = op._eq_lo, op._eq_hi
+    nh = op.nhalf
+    W = 4 * op.nside
+    nq_max = t["bl_C"].shape[-1]
+    n_eq_n = nh - lo  # north eq rows incl. the (self-mirrored) equator
+    n_eq_s = hi - nh
+
+    with _stage("ring_eq"):
+        phase_n = t["eq_phase"][:n_eq_n].astype(cdtype)
+        A = jnp.concatenate(
+            [Ge[..., lo:nh, :], Go[..., lo:nh, :]], axis=-2
+        ) * jnp.concatenate([phase_n, phase_n], axis=0)
+        Lp = A.shape[-1]
+        if Lp % W:
+            A = jnp.pad(A, [(0, 0)] * (A.ndim - 1) + [(0, W - Lp % W)])
+        A = A.reshape(A.shape[:-1] + (-1, W)).sum(axis=-2)  # alias m mod W
+        fboth = _eq_real_synth(op, t, A, jnp.float32(0.0))
+        fe = fboth[..., :n_eq_n, :]
+        fo = fboth[..., n_eq_n:, :]
+        f_north = (fe + fo) - (Ge + Go)[..., lo:nh, 0:1].real
+        f_south = (
+            (fe - fo)[..., :n_eq_s, :]
+            - (Ge - Go)[..., lo: nh - 1, 0:1].real
+        )[..., ::-1, :]
+        feq = jnp.concatenate([f_north, f_south], axis=-2)
+        if nq_max > W:
+            feq = jnp.pad(feq, [(0, 0)] * (feq.ndim - 1) + [(0, nq_max - W)])
+
+    if lo == 0 and hi == op.nring:
+        return feq
+
+    with _stage("ring_cap"):
+        nq_cap = t["bl_C_cap"].shape[-1]
+        cap_fn = (_cap_real_synth_banded_parity if op._cap_bands is not None
+                  else _cap_real_synth_parity)
+        fcap = _cap_sub_batched2(op, cap_fn, t, Ge, Go)
+        if nq_max > nq_cap:
+            fcap = jnp.pad(
+                fcap, [(0, 0)] * (fcap.ndim - 1) + [(0, nq_max - nq_cap)]
+            )
+
+    return jnp.concatenate(
+        [fcap[..., :lo, :], feq, fcap[..., lo:, :]], axis=-2
+    )
+
+
 def _rings_to_grid_split(op, t, G):
     """Ring synthesis with the equatorial fast path.
 
@@ -1785,6 +1952,17 @@ class SHT:
         ).astype(np.int32)
         self._north_idx = np.minimum(np.arange(nring), nh - 1).astype(np.int32)
         self._south_idx = self._mirror[nh:]
+
+        # Every ring table (chirps, conv kernels, phases) is a function of
+        # (n_r, phi0_r) alone, built by identical float expressions — so a
+        # palindromic geometry makes mirror rows BITWISE equal, and the
+        # parity ring synthesis (_rings_to_grid_parity: transforms on the
+        # half-size even/odd accumulators, N/S mirror as an output add/sub)
+        # is exact.  True for HEALPix; asserted, not assumed.
+        self._ns_symmetric = bool(
+            np.array_equal(self._nq, self._nq[::-1])
+            and np.array_equal(self._phi0, self._phi0[::-1])
+        )
 
         self._lam_meta = self._lambda_chunk_meta()
         # "host": exact f64 host recurrence → f32 chunks (accuracy

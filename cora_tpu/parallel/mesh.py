@@ -323,8 +323,7 @@ def synthesize_cube_sharded_2d(
     shard_map = shard_map_compat
     from ..healpix.sht import (
         _correlated_GeGo_scan,
-        _expand_rings,
-        _rings_to_grid,
+        _rings_to_grid_parity,
     )
 
     if "lam" in tables:
@@ -405,7 +404,7 @@ def synthesize_cube_sharded_2d(
                 Go, band_axis, axis=1, tiled=True)
             ge = jax.lax.dynamic_slice_in_dim(Ge, bidx * fsub, fsub, axis=0)
             go = jax.lax.dynamic_slice_in_dim(Go, bidx * fsub, fsub, axis=0)
-            g = _rings_to_grid(op, t_loc, _expand_rings(op, t_loc, ge, go))
+            g = _rings_to_grid_parity(op, t_loc, ge, go)
             return jax.lax.dynamic_update_slice_in_dim(
                 acc, g, i * fsub, axis=0
             )

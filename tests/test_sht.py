@@ -678,3 +678,32 @@ def test_map2alm_banded_solve():
     # quadrature estimate (finite, information-limited)
     assert rec32.shape == (Lf, Lf)
     assert np.isfinite(rec32).all()
+
+
+@pytest.mark.parametrize("nside,cap_bands", [(16, 0), (32, 4)])
+def test_rings_to_grid_parity_matches_expand(nside, cap_bands):
+    """Parity ring synthesis (transforms on the half-size even/odd
+    accumulators, N/S mirror as an output add/sub) == expand + split ring
+    stage, to f32 reduction order.  Exercises both the dense-cap and the
+    banded-cap forms."""
+    from cora_tpu.healpix.sht import (
+        SHT, _expand_rings, _rings_to_grid, _rings_to_grid_parity)
+
+    lmax = 3 * nside - 1
+    op = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm",
+             l_chunk=16, ring_mode="split", cap_bands=cap_bands)
+    t = op.tables(False)
+    assert op._ns_symmetric
+
+    rng = np.random.default_rng(1)
+    nh, L = op.nhalf, lmax + 1
+    Ge = (rng.standard_normal((3, nh, L))
+          + 1j * rng.standard_normal((3, nh, L))).astype(np.complex64)
+    Go = (rng.standard_normal((3, nh, L))
+          + 1j * rng.standard_normal((3, nh, L))).astype(np.complex64)
+    Ge, Go = jnp.asarray(Ge), jnp.asarray(Go)
+
+    ref = np.asarray(_rings_to_grid(op, t, _expand_rings(op, t, Ge, Go)))
+    new = np.asarray(_rings_to_grid_parity(op, t, Ge, Go))
+    assert new.shape == ref.shape
+    assert np.abs(new - ref).max() < 2e-6 * np.abs(ref).max()
