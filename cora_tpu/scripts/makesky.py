@@ -191,6 +191,11 @@ def cli():
     transform); multi-chip execution shards the frequency axis over a
     jax.sharding.Mesh.
     """
+    # compiled programs survive the process (CORA_TPU_COMPILE_CACHE=""
+    # opts out) — repeated CLI invocations skip the XLA compile
+    from ..util.compute import enable_compile_cache
+
+    enable_compile_cache()
 
 
 @cli.command()

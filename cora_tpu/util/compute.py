@@ -38,6 +38,60 @@ def accel_device():
         yield
 
 
+def enable_compile_cache(cache_dir=None, min_compile_secs=1.0):
+    """Enable JAX's persistent compilation cache for this process.
+
+    The big synthesis programs cost minutes to compile on TPU backends;
+    the reference never recompiles anything (its hot loops are AOT Cython
+    / libsharp, cora/setup.py:104-129), so repeated-invocation parity
+    requires compiled programs to survive the process.  bench.py has
+    always done this for the driver; this helper gives the CLI and
+    library users the same behaviour.
+
+    cache_dir — explicit directory; default is $CORA_TPU_COMPILE_CACHE,
+    else ``<table-cache>/xla`` next to the Λ/checkpoint table cache
+    (``~/.cache/cora_tpu``).  Set CORA_TPU_COMPILE_CACHE="" to disable.
+    Returns the directory used, or None if disabled/unwritable.
+    """
+    import os
+
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("CORA_TPU_COMPILE_CACHE")
+        if cache_dir == "":
+            return None
+    if cache_dir is None:
+        from ..healpix.sht import _user_cache_dir
+
+        base = _user_cache_dir()
+        if base is None:
+            return None
+        cache_dir = os.path.join(base, "xla")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        changed = jax.config.jax_compilation_cache_dir != cache_dir
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        if changed:
+            # the persistent cache object is created once on first use;
+            # re-pointing the directory afterwards requires a reset
+            try:
+                from jax._src import compilation_cache as _cc
+
+                _cc.reset_cache()
+            except Exception:
+                pass
+        # the default gates (min 1 s compile, min size) would skip most of
+        # the mid-sized model programs — cache everything
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        return None
+    return cache_dir
+
+
 def on_model_device(fn):
     """Decorator form of :func:`model_device`."""
     import functools

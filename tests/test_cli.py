@@ -197,3 +197,35 @@ def test_api_parity_audit():
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "/" in r.stdout and "MISSING" not in r.stdout
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """enable_compile_cache populates the persistent XLA cache (explicit
+    dir, env opt-out, env dir) so repeat CLI invocations skip compiles."""
+    import jax
+    import jax.numpy as jnp
+
+    from cora_tpu.util.compute import enable_compile_cache
+
+    d = tmp_path / "xla"
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        assert enable_compile_cache(str(d), min_compile_secs=0.0) == str(d)
+        jax.jit(lambda x: jnp.sin(x) * 2.0 + x)(jnp.arange(1000.0)).block_until_ready()
+        assert any(d.iterdir()), "no cache entries written"
+
+        monkeypatch.setenv("CORA_TPU_COMPILE_CACHE", "")
+        assert enable_compile_cache() is None
+
+        d2 = tmp_path / "xla2"
+        monkeypatch.setenv("CORA_TPU_COMPILE_CACHE", str(d2))
+        assert enable_compile_cache() == str(d2)
+    finally:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_compilation_cache_dir", prev)
+        try:
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:
+            pass
