@@ -183,6 +183,12 @@ class Pipeline:
         """
         products: dict[str, list] = {}
 
+        # compiled task programs survive the process (same default as the
+        # cora-makesky CLI; CORA_TPU_COMPILE_CACHE="" opts out)
+        from .util.compute import enable_compile_cache
+
+        enable_compile_cache()
+
         # instantiate + setup in order
         tasks = []
         for spec in self.task_specs:
