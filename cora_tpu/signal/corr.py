@@ -22,6 +22,7 @@ Architecture notes (TPU-first):
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
@@ -429,6 +430,23 @@ class RedshiftCorrelation:
             self._aps_cache = True
             return
 
+        # disk tier of the memo: the tables are a pure function of the
+        # key (grid params + P(k) content hash), so they persist per-user
+        # (~/.cache/cora_tpu; CORA_TPU_CACHE="" disables).  At production
+        # grids the build is ~2 min of host DCTs — the dominant CLI
+        # cold-start term once programs come from the compile cache.
+        disk_path = self._fft_table_disk_path(key)
+        if disk_path is not None and os.path.exists(disk_path):
+            try:
+                a = np.load(disk_path)
+                tabs = (a["dd"], a["dv"], a["vv"])
+                self._aps_dd, self._aps_dv, self._aps_vv = tabs
+                _FFT_TABLE_MEMO[key] = tabs
+                self._aps_cache = True
+                return
+            except Exception:
+                pass  # corrupt/partial file: rebuild and overwrite
+
         kperp = np.logspace(
             np.log10(self._kperpmin), np.log10(self._kperpmax), self._nkperp
         )
@@ -463,6 +481,26 @@ class RedshiftCorrelation:
         self._aps_dd, self._aps_dv, self._aps_vv = dd, dv, vv
         _FFT_TABLE_MEMO[key] = (dd, dv, vv)
         self._aps_cache = True
+
+        if disk_path is not None:
+            try:
+                tmp = disk_path + f".tmp{os.getpid()}"
+                np.savez(tmp, dd=dd, dv=dv, vv=vv)
+                os.replace(tmp + ".npz", disk_path)
+            except Exception:
+                pass  # cache dir unwritable/full: stay in-memory only
+
+    def _fft_table_disk_path(self, key):
+        """Per-user cache file for the DCT tables, or None if disabled."""
+        import hashlib
+
+        from ..healpix.sht import _user_cache_dir
+
+        d = _user_cache_dir()
+        if d is None:
+            return None
+        h = hashlib.sha1(repr(key).encode()).hexdigest()[:16]
+        return os.path.join(d, f"dct_{h}.npz")
 
     def save_fft_cache(self, fname):
         """Save the DCT angular power spectrum lookup tables."""

@@ -52,6 +52,12 @@ def enable_compile_cache(cache_dir=None, min_compile_secs=1.0):
     else ``<table-cache>/xla`` next to the Λ/checkpoint table cache
     (``~/.cache/cora_tpu``).  Set CORA_TPU_COMPILE_CACHE="" to disable.
     Returns the directory used, or None if disabled/unwritable.
+
+    On pure-CPU backends the cache stays OFF unless explicitly requested
+    (cache_dir argument or the env var): XLA:CPU serialises host-ISA AOT
+    kernels whose feature strings don't round-trip reliably (loud loader
+    warnings, SIGILL risk if the cache dir moves between machines), and
+    CPU compiles of these programs cost seconds, not minutes.
     """
     import os
 
@@ -62,6 +68,8 @@ def enable_compile_cache(cache_dir=None, min_compile_secs=1.0):
         if cache_dir == "":
             return None
     if cache_dir is None:
+        if jax.default_backend() == "cpu":
+            return None
         from ..healpix.sht import _user_cache_dir
 
         base = _user_cache_dir()

@@ -43,3 +43,34 @@ def test_corr21cm_matches_reference_algorithm():
     assert aps2.shape == (1000, 64, 64)
     assert np.allclose(aps2[400, 40, 40], REF_ALGO_V1, rtol=1e-5)
     assert np.allclose(aps2[200, 10, 40], REF_ALGO_V2, rtol=1e-5)
+
+
+def test_dct_table_disk_cache(tmp_path, monkeypatch):
+    """The DCT lookup tables persist to the per-user cache dir and reload
+    bit-identically in a fresh process (memo cleared); CORA_TPU_CACHE=""
+    disables the disk tier."""
+    from cora_tpu.signal import corr as corrmod
+
+    monkeypatch.setenv("CORA_TPU_CACHE", str(tmp_path))
+
+    def small(model):
+        model._nkperp = 40
+        model._nkpar = 2048
+        return model
+
+    m = small(Corr21cm())
+    m._build_fft_cache()
+    dd0 = m._aps_dd.copy()
+    assert any(f.name.startswith("dct_") for f in tmp_path.iterdir()), \
+        list(tmp_path.iterdir())
+
+    corrmod._FFT_TABLE_MEMO.clear()
+    m2 = small(Corr21cm())
+    m2._build_fft_cache()
+    assert np.array_equal(dd0, m2._aps_dd)
+    assert np.array_equal(m.aps_vv if hasattr(m, "aps_vv") else m._aps_vv, m2._aps_vv)
+
+    corrmod._FFT_TABLE_MEMO.clear()
+    monkeypatch.setenv("CORA_TPU_CACHE", "")
+    m3 = small(Corr21cm())
+    assert m3._fft_table_disk_path(m3._fft_table_key()) is None
