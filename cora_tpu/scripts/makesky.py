@@ -38,11 +38,26 @@ class ListOfType(click.ParamType):
 class FreqState:
     """Frequency specification accumulated from command-line options.
 
-    Modes (matching the CASPER PFB conventions used by CHIME):
-    - ``centre``: FSTART/FSTOP are the centres of the first and
-      one-past-last channel; the Nyquist channel is skipped.
-    - ``centre_nyquist``: as above but the last channel is included.
-    - ``edge``: FSTART/FSTOP are band edges, channels at bin centres.
+    Same CLI surface and channelisation semantics as the reference
+    (cora/scripts/makesky.py:44-167), built differently: all three
+    CASPER PFB conventions are ONE affine channel grid
+
+        centre_n = f_start + step · (n + offset),  n = 0 .. nf−1
+
+    parameterised per mode —
+
+    ================  =======================  ========  ==============
+    mode              step                     offset    channel width
+    ================  =======================  ========  ==============
+    centre            (f_stop − f_start)/nf      0       ``|step|``
+    centre_nyquist    (f_stop − f_start)/(nf−1)  0       ``|step|``
+    edge              (f_stop − f_start)/nf      1/2     ``step`` signed
+    ========================================================================
+
+    (``centre`` skips the Nyquist channel, matching the CASPER PFB-FIR
+    block; ``edge`` keeps the reference's signed width for descending
+    bands.)  Channel binning averages consecutive groups before the
+    range/list selection; an explicit channel list wins over a range.
     """
 
     def __init__(self):
@@ -54,98 +69,69 @@ class FreqState:
 
     @property
     def frequencies(self):
-        return self._calculate()[0]
+        return self._channel_grid()[0]
 
     @property
     def freq_width(self):
-        return self._calculate()[1]
+        return self._channel_grid()[1]
 
-    def _calculate(self):
+    def _channel_grid(self):
         sf, ef, nf = self.freq
-        if self.freq_mode == "centre":
-            df = abs(ef - sf) / nf
-            frequencies = np.linspace(sf, ef, nf, endpoint=False)
-        elif self.freq_mode == "centre_nyquist":
-            df = abs((ef - sf) / (nf - 1))
-            frequencies = np.linspace(sf, ef, nf, endpoint=True)
-        else:
-            df = (ef - sf) / nf
-            frequencies = sf + df * (np.arange(nf) + 0.5)
+        step = (ef - sf) / (nf - 1 if self.freq_mode == "centre_nyquist" else nf)
+        offset = 0.5 if self.freq_mode == "edge" else 0.0
+        centres = sf + step * (np.arange(nf) + offset)
+        width = step if self.freq_mode == "edge" else abs(step)
 
         if self.channel_bin > 1:
-            frequencies = frequencies.reshape(-1, self.channel_bin).mean(axis=1)
-            df = df * self.channel_bin
+            centres = centres.reshape(-1, self.channel_bin).mean(axis=1)
+            width *= self.channel_bin
 
         if self.channel_list is not None:
-            frequencies = frequencies[self.channel_list]
+            centres = centres[self.channel_list]
         elif self.channel_range is not None and self.channel_range[0] is not None:
-            frequencies = frequencies[self.channel_range[0] : self.channel_range[1]]
+            centres = centres[slice(*self.channel_range)]
 
-        return frequencies, df
+        return centres, width
 
-    @classmethod
-    def _set_attr(cls, ctx, param, value):
-        state = ctx.ensure_object(cls)
-        setattr(state, param.name, value)
-        return value
+    # declarative option table; options() instantiates these with a
+    # shared store-into-context callback
+    _OPTION_SPECS = (
+        ("--freq", dict(
+            help="Frequency channelisation: start and stop frequencies "
+                 "(MHz) and the effective number of channels. Default is "
+                 "the CHIME band: 800.0 400.0 1025.",
+            metavar="FSTART FSTOP FNUM", type=(float, float, int),
+            default=(800.0, 400.0, 1024))),
+        ("--channel-range", dict(
+            help="Select a range of frequency channels.",
+            type=(int, int), metavar="CSTART CSTOP", default=(None, None))),
+        ("--channel-list", dict(
+            help="Select a list of channels (priority over range).",
+            type=ListOfType("frequency list", int), metavar="CHANNEL LIST",
+            default=None)),
+        ("--channel-bin", dict(
+            help="Average over BIN channels (before selection).",
+            metavar="BIN", type=int, default=1)),
+        ("--freq-mode", dict(
+            type=click.Choice(["centre", "centre_nyquist", "edge"]),
+            default="centre",
+            help="Interpretation of FSTART/FSTOP (see command help).")),
+    )
 
     @classmethod
     def options(cls, f):
-        FREQ = ListOfType("frequency list", int)
-        options = [
-            click.option(
-                "--freq",
-                help=(
-                    "Frequency channelisation: start and stop frequencies "
-                    "(MHz) and the effective number of channels. Default is "
-                    "the CHIME band: 800.0 400.0 1025."
-                ),
-                metavar="FSTART FSTOP FNUM",
-                type=(float, float, int),
-                default=(800.0, 400.0, 1024),
-                expose_value=False,
-                callback=cls._set_attr,
-            ),
-            click.option(
-                "--channel-range",
-                help="Select a range of frequency channels.",
-                type=(int, int),
-                metavar="CSTART CSTOP",
-                default=(None, None),
-                expose_value=False,
-                callback=cls._set_attr,
-            ),
-            click.option(
-                "--channel-list",
-                help="Select a list of channels (priority over range).",
-                type=FREQ,
-                metavar="CHANNEL LIST",
-                default=None,
-                expose_value=False,
-                callback=cls._set_attr,
-            ),
-            click.option(
-                "--channel-bin",
-                help="Average over BIN channels (before selection).",
-                metavar="BIN",
-                type=int,
-                default=1,
-                expose_value=False,
-                callback=cls._set_attr,
-            ),
-            click.option(
-                "--freq-mode",
-                type=click.Choice(["centre", "centre_nyquist", "edge"]),
-                default="centre",
-                help="Interpretation of FSTART/FSTOP (see command help).",
-                expose_value=False,
-                callback=cls._set_attr,
-            ),
-        ]
-        handle = click.make_pass_decorator(cls, ensure=True)(f)
-        for option in options:
-            handle = option(handle)
-        return handle
+        """Attach the frequency options to a command; values accumulate
+        on the context-scoped FreqState instance."""
+
+        def _store(ctx, param, value):
+            setattr(ctx.ensure_object(cls), param.name, value)
+
+        f = click.make_pass_decorator(cls, ensure=True)(f)
+        for name, kw in cls._OPTION_SPECS:
+            f = click.option(
+                name, expose_value=False, callback=_store, **kw
+            )(f)
+        return f
 
 
 def map_options(f):

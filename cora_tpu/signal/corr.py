@@ -397,16 +397,30 @@ class RedshiftCorrelation:
     _aps_cache = False
 
     def _fft_table_key(self):
-        """Memo key for the DCT tables: grid params + a probe of ps_vv."""
+        """Memo key for the DCT tables: grid params + a probe of ps_vv.
+
+        The probe spans the full |k| range the table build actually
+        evaluates (k = sqrt(kperp^2 + kpar^2) over the grid) and, for 2-D
+        power spectra, several mu values — so two models that differ
+        anywhere on the sampled (k, mu) domain can never share a cached
+        table (this key also names durable per-user disk-cache entries).
+        The model class is part of the key as a belt-and-braces tag.
+        """
         import hashlib
 
-        probe_k = np.logspace(-4, np.log10(40.0), 64)
+        k_lo = self._kperpmin
+        k_hi = float(np.hypot(self._kperpmax, self._kparmax))
+        probe_k = np.logspace(np.log10(k_lo), np.log10(k_hi), 96)
         if self.ps_2d:
-            pv = np.asarray(self.ps_vv(probe_k, np.full(64, 0.5)))
+            pv = np.concatenate(
+                [np.asarray(self.ps_vv(probe_k, np.full(96, mu)))
+                 for mu in (0.0, 0.3, 0.7, 1.0)]
+            )
         else:
             pv = np.asarray(self.ps_vv(probe_k))
         h = hashlib.sha1(np.ascontiguousarray(pv, np.float64).tobytes())
         return (
+            type(self).__qualname__,
             self._kperpmin, self._kperpmax, self._nkperp, self._kparmax,
             self._nkpar, float(self._freq_window), float(self.ps_redshift),
             bool(self.ps_2d), h.hexdigest(),
@@ -438,8 +452,8 @@ class RedshiftCorrelation:
         disk_path = self._fft_table_disk_path(key)
         if disk_path is not None and os.path.exists(disk_path):
             try:
-                a = np.load(disk_path)
-                tabs = (a["dd"], a["dv"], a["vv"])
+                with np.load(disk_path) as a:
+                    tabs = (a["dd"], a["dv"], a["vv"])
                 self._aps_dd, self._aps_dv, self._aps_vv = tabs
                 _FFT_TABLE_MEMO[key] = tabs
                 self._aps_cache = True
@@ -483,12 +497,17 @@ class RedshiftCorrelation:
         self._aps_cache = True
 
         if disk_path is not None:
+            tmp = disk_path + f".tmp{os.getpid()}"
             try:
-                tmp = disk_path + f".tmp{os.getpid()}"
                 np.savez(tmp, dd=dd, dv=dv, vv=vv)
                 os.replace(tmp + ".npz", disk_path)
             except Exception:
-                pass  # cache dir unwritable/full: stay in-memory only
+                # cache dir unwritable/full: stay in-memory only — but do
+                # not leave a partial .tmp*.npz behind
+                try:
+                    os.unlink(tmp + ".npz")
+                except OSError:
+                    pass
 
     def _fft_table_disk_path(self, key):
         """Per-user cache file for the DCT tables, or None if disabled."""

@@ -19,52 +19,78 @@ from ..cosmology import Cosmology
 class PolyModelSet:
     """A set of related models defined by polynomials in (x - x0).
 
-    Subclasses define ``_models``: a dict mapping the model name to a
+    Subclasses declare ``_models``: a dict mapping the model name to a
     tuple ``(x0, [coeff, ...][, [power, ...]])``; the model evaluates as
     ``sum_i coeff_i * (x - x0)**power_i``.
+
+    Offers the same lookup surface as the reference registry
+    (``get`` / ``evaluate`` / ``models`` / ``cls[name]``; reference
+    cora/signal/lssmodels.py:13-99) with a different mechanism: the
+    declarative specs are normalised ONCE at class-creation time
+    (``__init_subclass__``) into explicit ``(x0, coeffs, powers)``
+    float triples, and evaluation is a single vectorised power-matrix
+    contraction ``power.outer(x - x0, powers) @ coeffs`` instead of a
+    per-term Python loop — any array shape contracts in one BLAS call.
     """
 
     default_model = None
     _models: dict = {}
+    _table: dict = {}
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        cls._table = {
+            name: (
+                float(spec[0]),
+                np.asarray(spec[1], np.float64),
+                np.asarray(
+                    spec[2] if len(spec) > 2 else np.arange(len(spec[1])),
+                    np.float64,
+                ),
+            )
+            for name, spec in cls._models.items()
+        }
+
+    @classmethod
+    def _resolve(cls, model: Union[str, None]) -> str:
+        name = cls.default_model if model is None else model
+        if name is None:
+            raise ValueError("No model provided and no default specified.")
+        if name not in cls._table:
+            raise ValueError(f'Model "{name}" not known.')
+        return name
+
+    @classmethod
+    def evaluate(cls, x, model: Optional[str] = None):
+        """Evaluate the named model at x (scalar or any array shape)."""
+        x0, coeffs, powers = cls._table[cls._resolve(model)]
+        dx = np.asarray(x, dtype=np.float64) - x0
+        return np.power.outer(dx, powers) @ coeffs
 
     @classmethod
     def get(cls, model: Optional[str] = None) -> Callable:
         """Return a function evaluating the given model (vectorised)."""
-        model = cls._validate_model(model)
-
-        def f(x):
-            return cls.evaluate(x, model=model)
-
-        return f
+        name = cls._resolve(model)
+        return lambda x: cls.evaluate(x, model=name)
 
     def __class_getitem__(cls, model: str) -> Callable:
         return cls.get(model)
 
-    @classmethod
-    def evaluate(cls, x, model: Optional[str] = None):
-        """Evaluate the named model at x."""
-        model = cls._validate_model(model)
-        return cls.evaluate_poly(x, *cls._models[model])
-
-    @classmethod
-    def _validate_model(cls, model: Union[str, None]) -> str:
-        if model is None:
-            if cls.default_model is None:
-                raise ValueError("No model provided and no default specified.")
-            model = cls.default_model
-        if model not in cls._models:
-            raise ValueError(f'Model "{model}" not known.')
-        return model
-
     @staticmethod
     def evaluate_poly(x, x0, coeffs, powers=None):
-        x = np.asarray(x, dtype=np.float64)
-        pc_iter = enumerate(coeffs) if powers is None else zip(powers, coeffs)
-        return np.sum([c * (x - x0) ** p for p, c in pc_iter], axis=0)
+        """Evaluate one ad-hoc ``(x0, coeffs[, powers])`` spec directly."""
+        coeffs = np.asarray(coeffs, np.float64)
+        p = (
+            np.arange(len(coeffs), dtype=np.float64)
+            if powers is None
+            else np.asarray(powers, np.float64)
+        )
+        dx = np.asarray(x, dtype=np.float64) - x0
+        return np.power.outer(dx, p) @ coeffs
 
     @classmethod
     def models(cls) -> List[str]:
-        return list(cls._models.keys())
+        return list(cls._table.keys())
 
 
 class bias(PolyModelSet):

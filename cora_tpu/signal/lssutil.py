@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Callable, Optional, Tuple, Union
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..util import interpolation as cs
@@ -66,117 +67,62 @@ def sinh_interpolate(x, f, x_t: float = 1, f_t: float = 1) -> Callable:
     return _f_asinh
 
 
-def diff2(f: np.ndarray, x: np.ndarray, axis: int = -1) -> np.ndarray:
-    """Second derivative on a non-uniform grid (4-point interior scheme,
-    one-sided 4-point stencils at the boundaries)."""
-    f = np.asarray(f)
+def _fd2_stencil(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """4-point second-derivative stencil on a non-uniform grid.
+
+    Rather than hand-deriving interior and one-sided boundary formulas
+    (the reference's approach, cora/signal/lssutil.py:99-186), the
+    weights at every target point are the unique solution of the local
+    moment conditions  Σ_j w_j (x_j − x_i)^p = 2·δ_{p,2}  for p = 0..3
+    (Fornberg's construction), solved as ONE batched 4×4 linear system.
+    Each point i uses the window [i−2, i+1] clipped into range, which
+    reproduces the classical interior/one-sided stencils exactly.
+
+    Returns ``(idx [n, 4], w [n, 4])`` with
+    ``d²f/dx² |_{x_i} ≈ Σ_j w[i, j] f[idx[i, j]]``.
+    """
     x = np.asarray(x, dtype=np.float64)
-    d2 = np.zeros_like(f)
+    n = len(x)
+    if n < 4:
+        raise ValueError("diff2 needs at least 4 samples")
+    start = np.clip(np.arange(n) - 2, 0, n - 4)
+    idx = start[:, None] + np.arange(4)[None, :]
+    dx = x[idx] - x[:, None]                                # [n, 4]
+    V = dx[:, None, :] ** np.arange(4)[None, :, None]       # [n, p, j]
+    rhs = np.zeros((n, 4, 1))
+    rhs[:, 2, 0] = 2.0
+    return idx, np.linalg.solve(V, rhs)[..., 0]
+
+
+def diff2(f: np.ndarray, x: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Second derivative on a non-uniform grid.
+
+    4-point stencil whose weights come from :func:`_fd2_stencil` (one
+    batched Vandermonde solve — interior and boundary points are the
+    same code path); applied as a gather + weighted sum over the
+    derivative axis.
+    """
+    f = np.asarray(f)
     axis = axis % f.ndim
-
-    def sl(v):
-        return (slice(None),) * axis + (v,)
-
-    n = f.shape[axis]
-
-    # interior points (vectorised over i = 2 .. n-2)
-    i = np.arange(2, n - 1)
-    dm2 = x[i] - x[i - 2]
-    dm1 = x[i] - x[i - 1]
-    dp1 = x[i + 1] - x[i]
-
-    alpha = 2 * (dp1 - dm1) / (dm2 * (dm2 + dp1) * (dm2 - dm1))
-    beta = 2 * (dm2 - dp1) / (dm1 * (dm2 - dm1) * (dm1 + dp1))
-    gamma = 2 * (dm2 + dm1) / (dp1 * (dm1 + dp1) * (dm2 + dp1))
-
-    shape = [1] * f.ndim
-    shape[axis] = len(i)
-
-    def rs(c):
-        return c.reshape(shape)
-
-    d2[sl(i)] = (
-        rs(alpha) * f[sl(i - 2)]
-        + rs(beta) * f[sl(i - 1)]
-        - rs(alpha + beta + gamma) * f[sl(i)]
-        + rs(gamma) * f[sl(i + 1)]
-    )
-
-    # i = 0 one-sided
-    dp1, dp2, dp3 = x[1] - x[0], x[2] - x[0], x[3] - x[0]
-    alpha = 2 * (dp1 + dp2 + dp3) / (dp1 * dp2 * dp3)
-    beta = -2 * (dp2 + dp3) / (dp1 * (dp1 - dp2) * (dp1 - dp3))
-    gamma = 2 * (dp1 + dp3) / ((dp1 - dp2) * dp2 * (dp2 - dp3))
-    delta = 2 * (dp1 + dp2) / ((dp1 - dp3) * dp3 * (-dp2 + dp3))
-    d2[sl(0)] = (
-        alpha * f[sl(0)] + beta * f[sl(1)] + gamma * f[sl(2)] + delta * f[sl(3)]
-    )
-
-    # i = 1
-    dm1, dp1, dp2 = x[1] - x[0], x[2] - x[1], x[3] - x[1]
-    alpha = 2 * (dp1 + dp2) / (dm1 * (dm1 + dp1) * (dm1 + dp2))
-    beta = 2 * (dm1 - dp1 - dp2) / (dm1 * dp1 * dp2)
-    gamma = 2 * (dm1 - dp2) / (dp1 * (dm1 + dp1) * (dp1 - dp2))
-    delta = -2 * (dm1 - dp1) / ((dp1 - dp2) * dp2 * (dm1 + dp2))
-    d2[sl(1)] = (
-        alpha * f[sl(0)] + beta * f[sl(1)] + gamma * f[sl(2)] + delta * f[sl(3)]
-    )
-
-    # i = n-1 one-sided
-    dm1, dm2, dm3 = x[-1] - x[-2], x[-1] - x[-3], x[-1] - x[-4]
-    alpha = 2 * (dm1 + dm2) / ((dm1 - dm3) * dm3 * (-dm2 + dm3))
-    beta = 2 * (dm1 + dm3) / ((dm1 - dm2) * dm2 * (dm2 - dm3))
-    gamma = -2 * (dm2 + dm3) / (dm1 * (dm1 - dm2) * (dm1 - dm3))
-    delta = 2 * (dm1 + dm2 + dm3) / (dm1 * dm2 * dm3)
-    d2[sl(-1)] = (
-        alpha * f[sl(-4)] + beta * f[sl(-3)] + gamma * f[sl(-2)] + delta * f[sl(-1)]
-    )
-
-    return d2
+    idx, w = _fd2_stencil(np.asarray(x))
+    fm = np.moveaxis(f, axis, 0)
+    out = np.einsum("ij,ij...->i...", w, fm[idx])
+    return np.moveaxis(out, 0, axis).astype(f.dtype, copy=False)
 
 
 def diff2_matrix(x: np.ndarray) -> np.ndarray:
     """The :func:`diff2` stencil as a dense [n, n] matrix.
 
-    ``diff2_matrix(x) @ f == diff2(f, x, axis=0)`` (same coefficients;
-    only the summation order differs).  Radial operators expressed as
+    ``diff2_matrix(x) @ f == diff2(f, x, axis=0)`` (same weights; only
+    the summation order differs).  Radial operators expressed as
     matrices apply as one pixel-sharded MXU matmul on a device mesh —
     the TPU-native form of the reference's pixel-redistributed radial
     derivative loops (cora/signal/lss.py:886).
     """
-    x = np.asarray(x, dtype=np.float64)
-    n = len(x)
+    idx, w = _fd2_stencil(x)
+    n = len(idx)
     D = np.zeros((n, n))
-
-    i = np.arange(2, n - 1)
-    dm2 = x[i] - x[i - 2]
-    dm1 = x[i] - x[i - 1]
-    dp1 = x[i + 1] - x[i]
-    alpha = 2 * (dp1 - dm1) / (dm2 * (dm2 + dp1) * (dm2 - dm1))
-    beta = 2 * (dm2 - dp1) / (dm1 * (dm2 - dm1) * (dm1 + dp1))
-    gamma = 2 * (dm2 + dm1) / (dp1 * (dm1 + dp1) * (dm2 + dp1))
-    D[i, i - 2] = alpha
-    D[i, i - 1] = beta
-    D[i, i] = -(alpha + beta + gamma)
-    D[i, i + 1] = gamma
-
-    dp1, dp2, dp3 = x[1] - x[0], x[2] - x[0], x[3] - x[0]
-    D[0, 0] = 2 * (dp1 + dp2 + dp3) / (dp1 * dp2 * dp3)
-    D[0, 1] = -2 * (dp2 + dp3) / (dp1 * (dp1 - dp2) * (dp1 - dp3))
-    D[0, 2] = 2 * (dp1 + dp3) / ((dp1 - dp2) * dp2 * (dp2 - dp3))
-    D[0, 3] = 2 * (dp1 + dp2) / ((dp1 - dp3) * dp3 * (-dp2 + dp3))
-
-    dm1, dp1, dp2 = x[1] - x[0], x[2] - x[1], x[3] - x[1]
-    D[1, 0] = 2 * (dp1 + dp2) / (dm1 * (dm1 + dp1) * (dm1 + dp2))
-    D[1, 1] = 2 * (dm1 - dp1 - dp2) / (dm1 * dp1 * dp2)
-    D[1, 2] = 2 * (dm1 - dp2) / (dp1 * (dm1 + dp1) * (dp1 - dp2))
-    D[1, 3] = -2 * (dm1 - dp1) / ((dp1 - dp2) * dp2 * (dm1 + dp2))
-
-    dm1, dm2, dm3 = x[-1] - x[-2], x[-1] - x[-3], x[-1] - x[-4]
-    D[-1, -4] = 2 * (dm1 + dm2) / ((dm1 - dm3) * dm3 * (-dm2 + dm3))
-    D[-1, -3] = 2 * (dm1 + dm3) / ((dm1 - dm2) * dm2 * (dm2 - dm3))
-    D[-1, -2] = -2 * (dm2 + dm3) / (dm1 * (dm1 - dm2) * (dm1 - dm3))
-    D[-1, -1] = 2 * (dm1 + dm2 + dm3) / (dm1 * dm2 * dm3)
+    np.put_along_axis(D, idx, w, axis=1)
     return D
 
 
@@ -280,6 +226,14 @@ def cutoff(x, cut: float, sign: int, width: float, index: float):
     return (0.5 * (1 + np.tanh(sign * (np.log10(x) - cut) / width))) ** index
 
 
+def _m_weights(lmax: int) -> np.ndarray:
+    """Σ over m = −l..l expressed on the m ≥ 0 half: weight 1 at m = 0,
+    2 at m > 0 (real fields / Hermitian products)."""
+    w = np.full(lmax + 1, 2.0)
+    w[0] = 1.0
+    return w
+
+
 def pk_flat(
     maps: np.ndarray,
     chi: np.ndarray,
@@ -289,8 +243,20 @@ def pk_flat(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Estimate a 2D (k_par, k_perp) power spectrum from spherical shells.
 
-    Flat-sky thin-shell estimator (reference lssutil.py:293-376): radial
-    rfft, complex SHT of each radial mode, m-average per l.
+    Flat-sky thin-shell estimator (semantics of reference
+    lssutil.py:293-376), re-designed as one batched device program: the
+    radial DFT modes of the shell stack are complex maps f_n = u_n + i·v_n;
+    instead of one complex SHT per mode (the reference's per-shell healpy
+    loop) ALL real/imaginary parts go through a single batched
+    :func:`~cora_tpu.healpix.sht.map2alm`, and the full-m power sum
+    Σ_{m=−l..l} |a_lm|² collapses onto the m ≥ 0 half exactly:
+
+        Σ_m |a^{f}_lm|² = Σ_{m≥0} w_m (|a^{u}_lm|² + |a^{v}_lm|²),
+
+    with w_0 = 1, w_{m>0} = 2 (and Re Σ_m a b* likewise for the cross
+    spectrum) — no full-m alm array is ever built.  On TPU the batched
+    analysis runs at ~11 ms/map (BASELINE.md); tools/bench_estimators.py
+    has the measured v5e rows.
     """
     if maps2 is not None and maps.shape != maps2.shape:
         raise ValueError("Shape of maps2 is not compatible with maps")
@@ -305,22 +271,30 @@ def pk_flat(
     dx = np.ptp(chi) / (N - 1)
     L = N * dx
 
-    cn = np.fft.rfft(maps, axis=0) / N
-    almn = np.array([xfer.get(hputil.sphtrans_complex(m, lmax)) for m in cn])
+    def _halfm_mode_alms(m):
+        # radial rfft (host — cheap, f64) then ONE batched analysis of
+        # the 2·nk real component maps (hputil's healpy-contract iter)
+        cn = np.fft.rfft(np.asarray(m, np.float64), axis=0) / N
+        parts = np.concatenate([cn.real, cn.imag], axis=0)
+        alm = _sht.map2alm(parts, lmax, hputil._iter)
+        nk = cn.shape[0]
+        return alm[:nk], alm[nk:]          # a^u, a^v  [nk, l, m≥0]
+
+    wm = jnp.asarray(_m_weights(lmax))
+    U, V = _halfm_mode_alms(maps)
+    if maps2 is None:
+        cln = jnp.sum((jnp.abs(U) ** 2 + jnp.abs(V) ** 2) * wm, axis=-1)
+    else:
+        P, Q = _halfm_mode_alms(maps2)
+        cln = jnp.sum(
+            (U * jnp.conj(P) + V * jnp.conj(Q)).real * wm, axis=-1
+        )
 
     ell = np.arange(lmax + 1)
-    if maps2 is None:
-        cln = (np.abs(almn) ** 2).sum(axis=-1)
-    else:
-        cn2 = np.fft.rfft(maps2, axis=0) / N
-        almn2 = np.array([xfer.get(hputil.sphtrans_complex(m, lmax)) for m in cn2])
-        cln = (almn * almn2.conj()).sum(axis=-1).real
-
-    cln /= (2 * ell + 1)[np.newaxis, :]
+    cln = np.asarray(cln) / (2 * ell + 1) * (L * chi_mean**2)
 
     kperp = ell / chi_mean
-    kpar = 2 * np.pi * np.arange(cn.shape[0]) / L
-    cln *= L * chi_mean**2
+    kpar = 2 * np.pi * np.arange(cln.shape[0]) / L
 
     if window:
         Wk = np.sinc(kpar * dx / (2 * np.pi))
@@ -338,8 +312,21 @@ def corrfunc(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Estimate a 1D correlation function ξ(r) from spherical shells.
 
-    anafast C_l per shell pair → Legendre resum → binned in separation
-    (reference lssutil.py:379-443).
+    Semantics of reference lssutil.py:379-443 (cross-C_l between all
+    shell pairs → Legendre resum → separation-binned average), re-built
+    as a device pipeline with no per-pair loop:
+
+    1. one batched analysis of the whole shell stack;
+    2. the full pair cross-spectrum Gram tensor in one MXU einsum over
+       the m-weighted alms, C_l(a,b) = Σ_m w_m Re(a_{alm} a*_{blm});
+    3. ξ(a, b, θ) = C @ P̃_l(cos θ) as one matmul against the
+       (2l+1)/4π-weighted Legendre matrix;
+    4. comoving pair separations from the law of cosines
+       r² = χ_a² + χ_b² − 2 χ_a χ_b cos θ, averaged into uniform r bins
+       by ``segment_sum`` (deterministic device scatter).
+
+    The sample set (unordered shell pairs × 2048 uniform θ points) and
+    the output binning match the reference estimator.
     """
     from .corrfunc import legendre_array
 
@@ -347,44 +334,46 @@ def corrfunc(
     if lmax is None:
         lmax = 3 * hpx.npix2nside(maps.shape[1]) - 1
 
-    # cross-spectra between shells separated by a fixed number of slices
+    chi = np.asarray(chi, dtype=np.float64)
     nx = len(chi)
-    alm = xfer.get(_sht.map2alm(maps, lmax, 3))
+    alm = _sht.map2alm(maps, lmax, 3)                   # [nx, l, m]
 
-    xxp = []
-    cl_list = []
-    for i in range(nx):
-        for j in range(i, nx):
-            prod = alm[j - i] * np.conj(alm[j])
-            s = prod[..., 0] + 2 * prod[..., 1:].sum(axis=-1).real
-            cl_list.append((s / (2 * np.arange(lmax + 1) + 1)).real)
-            xxp.append((chi[j - i], chi[j]))
+    # pair Gram tensor; m-weights folded in on one operand
+    wm = jnp.asarray(_m_weights(lmax))
+    gram = jnp.einsum(
+        "alm,blm->abl", alm, jnp.conj(alm * wm)
+    ).real / (2.0 * jnp.arange(lmax + 1) + 1.0)
 
-    clxx = np.array(cl_list)
-    r1, r2 = np.array(xxp).T
+    a_i, b_i = np.triu_indices(nx)                      # each pair once
+    clxx = gram[a_i, b_i]                               # [npair, l]
 
-    t = np.linspace(0, np.pi, 2048)
-    mu = np.cos(t)
+    theta = np.linspace(0, np.pi, 2048)
+    mu = np.cos(theta)
+    Pl_w = legendre_array(lmax, mu) * (
+        (2 * np.arange(lmax + 1)[:, np.newaxis] + 1) / (4 * np.pi)
+    )
+    ctheta = clxx @ jnp.asarray(Pl_w)                   # ξ(a, b, θ)
 
-    Pl_arr = legendre_array(lmax, mu)
-    Pl_arr *= (2 * np.arange(lmax + 1)[:, np.newaxis] + 1) / (4 * np.pi)
+    r1 = jnp.asarray(chi[a_i])[:, None]
+    r2 = jnp.asarray(chi[b_i])[:, None]
+    mu_d = jnp.asarray(mu)[None, :]
+    rc = jnp.sqrt(r1**2 + r2**2 - 2 * r1 * r2 * mu_d)
 
-    cthetaxx = np.dot(clxx, Pl_arr)
+    # uniform-bin average via deterministic segment-sum; out-of-range
+    # separations park in a discard bin
+    dr = rmax / numr
+    idx = jnp.floor(rc / dr).astype(jnp.int32)
+    idx = jnp.where((idx >= 0) & (idx < numr), idx, numr)
+    norm = jax.ops.segment_sum(
+        jnp.ones_like(rc).ravel(), idx.ravel(), num_segments=numr + 1
+    )
+    csum = jax.ops.segment_sum(
+        ctheta.ravel(), idx.ravel(), num_segments=numr + 1
+    )
 
-    r1 = r1[:, np.newaxis]
-    r2 = r2[:, np.newaxis]
-    mu = mu[np.newaxis, :]
-    rc = ((r1 - r2) ** 2 + 2 * r1 * r2 * (1 - mu)) ** 0.5
-
-    rbins = np.linspace(0, rmax, numr + 1)
-    rcentre = 0.5 * (rbins[1:] + rbins[:-1])
-
-    r_ind = np.digitize(rc.ravel(), rbins)
-    norm = np.bincount(r_ind, minlength=numr + 2)
-    csum = np.bincount(r_ind, weights=cthetaxx.ravel(), minlength=numr + 2)
-
-    cf = (csum * invert_no_zero(norm))[1:-1].copy()
-    return cf, rcentre
+    norm, csum = np.asarray(norm)[:numr], np.asarray(csum)[:numr]
+    rcentre = (np.arange(numr) + 0.5) * dr
+    return csum * invert_no_zero(norm), rcentre
 
 
 def ang_correlation(x: np.ndarray, y: np.ndarray) -> np.ndarray:
@@ -415,62 +404,72 @@ def calculate_width(centres: np.ndarray) -> np.ndarray:
 def exponential_FoG_kernel(chi: np.ndarray, sigmaP, D) -> np.ndarray:
     r"""Exponential radial smoothing kernel approximating Fingers of God.
 
-    Fourier conjugate of a squared-Lorentzian damping
-    :math:`(1 + k_\parallel^2\sigma_P^2/2)^{-1}`; rows are mass-conserving,
-    bin widths are integrated with sinhc factors, and any growth factor
-    already applied per bin is divided out / re-applied
-    (reference lssutil.py:518-589).
+    Real-space conjugate of the squared-Lorentzian velocity damping
+    :math:`(1 + k_\parallel^2\sigma_P^2/2)^{-1}`, i.e. the normalised
+    kernel :math:`e^{-a|\Delta\chi|}` with decay rate
+    :math:`a = \sqrt{2}/\sigma_P` per *target* bin.  Matrix elements are
+    the kernel integrated over each source bin's top-hat width w:
+
+    * off-diagonal: :math:`\int e^{-a|x|}` over a bin at separation s
+      gives :math:`e^{-a s}\,\mathrm{sinhc}(a w / 2)`;
+    * diagonal (bin integrates over its own width, split at the peak):
+      :math:`e^{-a w/4}\,\mathrm{sinhc}(a w / 4)`.
+
+    Rows are normalised to unit sum (mass conservation), and a growth
+    factor already multiplied into each source bin is conjugated out and
+    re-applied at the target: :math:`K \to \mathrm{diag}(D) K
+    \mathrm{diag}(D)^{-1}`.  Same semantics as reference
+    lssutil.py:518-589, independently built from the closed forms above
+    (single masked-select assembly, no in-place diagonal fill).
     """
     chi = np.asarray(chi, dtype=np.float64)
-    if not isinstance(sigmaP, np.ndarray):
-        sigmaP = np.ones_like(chi) * sigmaP
-    if not isinstance(D, np.ndarray):
-        D = np.ones_like(chi) * D
+    n = len(chi)
+    a = np.sqrt(2.0) / np.broadcast_to(np.asarray(sigmaP, np.float64), (n,))
+    D = np.broadcast_to(np.asarray(D, np.float64), (n,))
 
-    a = 2**0.5 / sigmaP
-    ar = a[:, np.newaxis]
-
-    dchi = calculate_width(chi)[np.newaxis, :]
-    chi_sep = np.abs(chi[:, np.newaxis] - chi[np.newaxis, :])
+    w = calculate_width(chi)
+    aw = a[:, None] * w[None, :]                  # target rate × source width
+    sep = np.abs(chi[:, None] - chi[None, :])
 
     def sinhc(x):
         return np.sinh(x) / x
 
-    K = np.exp(-ar * chi_sep) * sinhc(ar * dchi / 2.0)
-    np.fill_diagonal(K, np.diagonal(np.exp(-ar * dchi / 4) * sinhc(ar * dchi / 4)))
+    off_diag = np.exp(-a[:, None] * sep) * sinhc(aw / 2.0)
+    self_bin = np.exp(-aw / 4.0) * sinhc(aw / 4.0)
+    K = np.where(np.eye(n, dtype=bool), self_bin, off_diag)
 
-    K /= np.sum(K, axis=1)[:, np.newaxis]
-    K /= D[np.newaxis, :]
-    K *= D[:, np.newaxis]
-    return K
+    K /= K.sum(axis=1, keepdims=True)
+    return K * (D[:, None] / D[None, :])
 
 
 def lognormal_transform(
     field: np.ndarray, out: Optional[np.ndarray] = None, axis: int = None
 ) -> np.ndarray:
-    """Transform to a lognormal field with matched two-point statistics."""
+    """Lognormal point transform with matched mean: exp(δ − σ²/2) − 1.
+
+    Functional form (reference lssutil.py:592-627 does the same map with
+    in-place ufuncs); ``out`` may alias ``field`` or be an HDF5 dataset —
+    the result is computed first and assigned once.
+    """
+    field = np.asarray(field) if out is None else field
+    res = np.exp(field - np.var(field, axis=axis, keepdims=True) / 2.0) - 1.0
     if out is None:
-        out = np.zeros_like(field)
-    elif field.shape != out.shape or field.dtype != out.dtype:
+        return res
+    if np.shape(out) != np.shape(field) or out.dtype != np.asarray(field).dtype:
         raise ValueError("Given output array is incompatible.")
-
-    if field is not out:
-        out[:] = field
-
-    var = field.var(axis=axis, keepdims=True)
-    out -= var / 2.0
-    np.exp(out, out=out)
-    out -= 1
+    out[:] = res
     return out
 
 
 def assert_shape(arr, shape, name):
-    if arr.ndim != len(shape):
+    """Raise ValueError unless ``arr.shape == shape`` (dims checked first)."""
+    got, want = tuple(arr.shape), tuple(shape)
+    if len(got) != len(want):
         raise ValueError(
-            f"Array {name} has wrong number of dimensions (got {arr.ndim}, "
-            f"expected {len(shape)}"
+            f"Array {name} has wrong number of dimensions (got {len(got)}, "
+            f"expected {len(want)}"
         )
-    if arr.shape != shape:
+    if got != want:
         raise ValueError(
-            f"Array {name} has the wrong shape (got {arr.shape}, expected {shape}"
+            f"Array {name} has the wrong shape (got {got}, expected {want}"
         )

@@ -38,7 +38,7 @@ def accel_device():
         yield
 
 
-def enable_compile_cache(cache_dir=None, min_compile_secs=1.0):
+def enable_compile_cache(cache_dir=None, min_compile_secs=0.0):
     """Enable JAX's persistent compilation cache for this process.
 
     The big synthesis programs cost minutes to compile on TPU backends;
@@ -70,6 +70,12 @@ def enable_compile_cache(cache_dir=None, min_compile_secs=1.0):
     if cache_dir is None:
         if jax.default_backend() == "cpu":
             return None
+        # respect a cache dir the user already configured through JAX's
+        # own knobs (JAX_COMPILATION_CACHE_DIR / jax.config) — only pick
+        # our per-user default when nothing is set
+        existing = jax.config.jax_compilation_cache_dir
+        if existing:
+            return existing
         from ..healpix.sht import _user_cache_dir
 
         base = _user_cache_dir()
