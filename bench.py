@@ -112,6 +112,13 @@ def main():
                         "(default: karatsuba on accelerators — 7.5%% "
                         "full-step win at identical accuracy, "
                         "tools/cmul_compare.py; xla on CPU)")
+    p.add_argument("--setup", default=None, choices=["host", "device"],
+                   help="C_l/covariance-roots setup path: 'device' builds "
+                        "the DCT tables, C_l grid and batched-eigh roots "
+                        "as jitted device programs from a ~100 kB "
+                        "spline-knot upload (default on accelerators); "
+                        "'host' is the f64 host build + 403 MB roots "
+                        "transfer (with a .bench_cache disk tier)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -138,6 +145,16 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
+    # Start the backend session init NOW.  On the axon-tunnelled runtime
+    # the first *executed* program pays a one-time session flush (~72 s
+    # warm service, ~306 s cold — tools/coldstart_r4b*.out) that proceeds
+    # SERVER-side once dispatched (tools/flush_overlap.out: a 75 s host
+    # sleep hid it completely).  Dispatching a trivial program here makes
+    # every second of host-side setup below overlap it; the un-hidden
+    # remainder is measured and reported as setup.backend_init_s.
+    t_flush0 = time.time()
+    _flush = jax.jit(lambda x: x + 1.0)(jnp.zeros(8, jnp.float32))
+
     from cora_tpu.signal.corr21cm import Corr21cm
     from cora_tpu.signal import clfast
     from cora_tpu.healpix.sht import SHT, synthesis_scan_correlated
@@ -158,8 +175,23 @@ def main():
     roots_path = os.path.join(cache_dir, f"roots_{nside}_{nfreq}.npy")
 
     setup = {}
+    setup_mode = args.setup or ("host" if dev.platform == "cpu" else "device")
     t0 = time.time()
-    if os.path.exists(roots_path):
+    roots_d = None
+    if setup_mode == "device":
+        # zero-transfer setup: spline knots up (~100 kB), then DCT tables,
+        # C_l grid and batched-eigh roots as device programs — dispatched
+        # NOW (async), executing server-side behind the session flush while
+        # the host builds the SHT tables below.  Accuracy vs the host f64
+        # build: tables ~1e-6, ||R Rᵀ − C|| ~1e-6 relative
+        # (tests/test_skysim.py::test_device_cl_setup).
+        model = Corr21cm()
+        td = clfast.build_cl_tables_device(model, freqs)
+        roots_d = clfast.cl_roots_device(td, lmax)
+        setup["roots_s"] = round(time.time() - t0, 1)
+        print(f"# device C_l/roots programs dispatched "
+              f"({setup['roots_s']}s)", file=sys.stderr)
+    elif os.path.exists(roots_path):
         roots = np.load(roots_path)
         print(f"# covariance roots: loaded cache ({time.time()-t0:.1f}s)",
               file=sys.stderr)
@@ -183,7 +215,8 @@ def main():
         np.save(roots_path, roots)
         print(f"# covariance roots (host eigh): {time.time()-t0:.1f}s",
               file=sys.stderr)
-    setup["roots_s"] = round(time.time() - t0, 1)
+    if setup_mode != "device":
+        setup["roots_s"] = round(time.time() - t0, 1)
 
     # karatsuba wins 7.5% at 256×64 (fchunk=32) but loses ~1% at the
     # flagship's thin fchunk=4 ring batches (same-process head-to-heads,
@@ -202,7 +235,8 @@ def main():
              lambda_cache=os.path.join(
                  cache_dir, f"lam_{nside}_{args.lchunk}.npz"))
     sht_tables = xfer.put_tree(op.tables(False))
-    roots_d = xfer.put(roots)
+    if roots_d is None:
+        roots_d = xfer.put(roots)
     setup["sht_s"] = round(time.time() - t0, 1)
     print(f"# SHT tables setup+transfer: {setup['sht_s']}s", file=sys.stderr)
 
@@ -307,6 +341,20 @@ def main():
     def step(key):
         out = compiled(key, roots_d, sht_tables)
         return float(out.sum()) if args.sims > 1 else float(out)
+
+    # Settle the backend session flush dispatched at the top of main():
+    # everything between the dispatch and here (imports, roots, SHT tables,
+    # exe load) overlapped it server-side.  backend_init_s is the UN-hidden
+    # remainder actually paid on the critical path; backend_init_total_s is
+    # the full flush wall since dispatch (service-state diagnostic: ~72 s
+    # warm service, ~306 s cold, tools/coldstart_r4b*.out).
+    t0 = time.time()
+    _flush.block_until_ready()
+    setup["backend_init_s"] = round(time.time() - t0, 1)
+    setup["backend_init_total_s"] = round(time.time() - t_flush0, 1)
+    print(f"# backend session init: {setup['backend_init_s']}s un-hidden "
+          f"({setup['backend_init_total_s']}s total since dispatch)",
+          file=sys.stderr)
 
     t0 = time.time()
     try:

@@ -335,7 +335,7 @@ def mkconstrained(corr, constraints, nside, key=None):
     return np.asarray(_sht.alm2map(jnp.asarray(cv), nside))
 
 
-def mkfullsky_streamed(corr, nside, key=None, fchunk=16, op=None):
+def mkfullsky_streamed(corr, nside, key=None, fchunk=16, op=None, roots=None):
     """Generator: correlated sky cube in frequency chunks, host pixel maps.
 
     For cubes too large for device HBM or host RAM in one piece
@@ -352,20 +352,31 @@ def mkfullsky_streamed(corr, nside, key=None, fchunk=16, op=None):
     Above nside=512 the cached Λ table no longer fits HBM (38 GB at
     nside=1024); the Λ-free checkpointed-scan Legendre mode is selected
     automatically (validated single-chip at Nside=1024 × 64 channels).
+
+    ``roots``: precomputed per-ell covariance roots [lmax+1, nz, nz]
+    (e.g. built on device by :func:`cora_tpu.signal.clfast.cl_roots_device`
+    — the zero-transfer cold-start path); ``corr`` is ignored when given.
     """
     from .. import native
     from ..healpix import pixel as _pixel
     from ..healpix.sht import SHT, synthesis_grid_correlated
     from ..util import xfer
 
-    corr = np.asarray(corr)
-    lmax = corr.shape[0] - 1
-    nz = corr.shape[1]
     if key is None:
         key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
 
-    # roots on host in float64 (independent of jax_enable_x64)
-    roots_d = xfer.put(host_covariance_roots(corr).astype(np.float32))
+    if roots is not None:
+        lmax = roots.shape[0] - 1
+        nz = roots.shape[1]
+        roots_d = roots if isinstance(roots, jax.Array) else xfer.put(
+            np.asarray(roots, np.float32)
+        )
+    else:
+        corr = np.asarray(corr)
+        lmax = corr.shape[0] - 1
+        nz = corr.shape[1]
+        # roots on host in float64 (independent of jax_enable_x64)
+        roots_d = xfer.put(host_covariance_roots(corr).astype(np.float32))
 
     if op is None:
         big = int(nside) > 512  # cached Λ exceeds single-chip HBM past 512

@@ -42,6 +42,8 @@ tests/test_skysim.py (sub-percent everywhere).
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -115,28 +117,7 @@ def build_cl_tables(model, freqs, freq_width=None, dtype=np.float32,
     dict of host numpy arrays: dd/dv/vv tables and per-channel vectors
     (device_put them for the on-device cl_grid path).
     """
-    freqs = np.asarray(freqs, dtype=np.float64)
-    if freq_width is None:
-        freq_width = np.abs(freqs[1] - freqs[0])
-    if freq_width == 0.0:
-        window = "none"
-
-    z = constants.nu21 / freqs - 1.0
-    chi = model.cosmology.comoving_distance(z)
-
-    if window == "exact":
-        # per-channel radial widths: the exact comoving span of the channel
-        z_lo = constants.nu21 / (freqs + freq_width / 2.0) - 1.0
-        z_hi = constants.nu21 / (freqs - freq_width / 2.0) - 1.0
-        Wi = np.abs(
-            np.asarray(model.cosmology.comoving_distance(z_hi), np.float64)
-            - np.asarray(model.cosmology.comoving_distance(z_lo), np.float64)
-        )
-        # windows far below the rpar grid resolution are numerically
-        # indistinguishable from no window (and the 4-point combination
-        # would cancel catastrophically) — fall back
-        if np.max(Wi) < 1e-3 * np.pi / model._kparmax:
-            window = "none"
+    z, chi, Wi, window, W = _channel_state(model, freqs, freq_width, window)
 
     if window == "exact":
         old_window = model._freq_window
@@ -162,19 +143,6 @@ def build_cl_tables(model, freqs, freq_width=None, dtype=np.float32,
         if old_cache:
             model._build_fft_cache()
     else:
-        if window == "none":
-            W = 0.0
-        else:
-            # channel width in comoving distance at band centre
-            zc = np.median(z)
-            dz = 1e-3
-            dchi_dz = (
-                model.cosmology.comoving_distance(zc + dz)
-                - model.cosmology.comoving_distance(zc - dz)
-            ) / (2 * dz)
-            dz_dnu = constants.nu21 / np.median(freqs) ** 2
-            W = abs(dchi_dz * dz_dnu * freq_width)
-
         # Build the DCT tables with the sinc² channel window baked in.
         old_window = model._freq_window
         old_cache = model._aps_cache
@@ -191,19 +159,231 @@ def build_cl_tables(model, freqs, freq_width=None, dtype=np.float32,
         if old_cache:
             model._build_fft_cache()
 
+    for k, v in _channel_vectors(model, z, chi).items():
+        tables[k] = v.astype(dtype, copy=False)
+    return tables
+
+
+def _channel_state(model, freqs, freq_width, window):
+    """Resolve the channel grid.
+
+    Returns ``(z, chi, Wi, window, W)``: redshifts, comoving distances,
+    per-channel comoving widths (``None`` unless window == "exact"), the
+    resolved window mode, and the band-centre comoving width ``W`` used by
+    the legacy "centre" mode (0.0 otherwise).
+    """
+    freqs = np.asarray(freqs, dtype=np.float64)
+    if freq_width is None:
+        freq_width = np.abs(freqs[1] - freqs[0])
+    if freq_width == 0.0:
+        window = "none"
+
+    z = constants.nu21 / freqs - 1.0
+    chi = model.cosmology.comoving_distance(z)
+
+    Wi = None
+    if window == "exact":
+        # per-channel radial widths: the exact comoving span of the channel
+        z_lo = constants.nu21 / (freqs + freq_width / 2.0) - 1.0
+        z_hi = constants.nu21 / (freqs - freq_width / 2.0) - 1.0
+        Wi = np.abs(
+            np.asarray(model.cosmology.comoving_distance(z_hi), np.float64)
+            - np.asarray(model.cosmology.comoving_distance(z_lo), np.float64)
+        )
+        # windows far below the rpar grid resolution are numerically
+        # indistinguishable from no window (and the 4-point combination
+        # would cancel catastrophically) — fall back
+        if np.max(Wi) < 1e-3 * np.pi / model._kparmax:
+            window = "none"
+
+    W = 0.0
+    if window == "centre":
+        # channel width in comoving distance at band centre
+        zc = np.median(z)
+        dz = 1e-3
+        dchi_dz = (
+            model.cosmology.comoving_distance(zc + dz)
+            - model.cosmology.comoving_distance(zc - dz)
+        ) / (2 * dz)
+        dz_dnu = constants.nu21 / np.median(freqs) ** 2
+        W = abs(dchi_dz * dz_dnu * freq_width)
+    return z, chi, Wi, window, W
+
+
+def _channel_vectors(model, z, chi):
+    """Per-channel growth/bias/prefactor vectors + the grid descriptor."""
     D = model.growth_factor(z) / model.growth_factor(model.ps_redshift)
-    tables.update(
-        chi=chi.astype(dtype, copy=False),
-        D=np.asarray(D).astype(dtype, copy=False),
-        f=np.asarray(model.growth_rate(z)).astype(dtype, copy=False),
-        b=np.asarray(model.bias_z(z)).astype(dtype, copy=False),
-        pf=np.asarray(model.prefactor(z)).astype(dtype, copy=False),
+    return dict(
+        chi=np.asarray(chi, np.float64),
+        D=np.asarray(D, np.float64),
+        f=np.asarray(model.growth_rate(z), np.float64),
+        b=np.asarray(model.bias_z(z), np.float64),
+        pf=np.asarray(model.prefactor(z), np.float64),
         grid=np.array(
             [model._kperpmin, model._kperpmax, model._nkperp, model._kparmax],
             dtype=np.float64,
-        ).astype(dtype, copy=False),
+        ),
     )
-    return tables
+
+
+def build_cl_tables_device(model, freqs, freq_width=None, window="exact",
+                           n_knots=8192):
+    """Device-side table build — the whole DCT pipeline as one jitted program.
+
+    The host builder (:func:`build_cl_tables`) spends minutes on this box
+    evaluating P(k) over the (nkperp × nkpar) grid and running f64 DCTs
+    (26 s) plus the host C_l grid + eigh (130 s; tools/clsetup
+    attribution).  Here host work is reduced to sampling log P(k) on a
+    dense uniform log-k grid (``n_knots`` points, milliseconds) and the
+    per-channel vectors; the P grid (natural-spline eval in log-log
+    space), the three DCT-I transforms (rfft of the even extension) and
+    the K̃ double antiderivative all run on the accelerator in float32.
+    Measured on v5e (tools/device_setup_probe.py): DCT-I 2.7e-6
+    relative-to-max vs the host f64 build, double rev-cumtrapz 2.3e-7 —
+    inside the table contract (rtol 1e-5 class).
+
+    Replaces the reference's host-only cache build (corr.py:916-942).
+
+    Returns the same dict as :func:`build_cl_tables` but with jnp float32
+    arrays; feed to :func:`cl_grid` / :func:`cl_roots_device`.
+
+    Raises
+    ------
+    ValueError
+        For models the device path cannot represent (``ps_2d`` or
+        non-positive P(k)) — callers fall back to the host builder.
+    """
+    if getattr(model, "ps_2d", False):
+        raise ValueError("device table build supports 1-D P(k) only")
+    z, chi, Wi, window, W = _channel_state(model, freqs, freq_width, window)
+
+    # log P(k) knots over exactly the k range the grid can request
+    k_lo = float(model._kperpmin)
+    k_hi = float(np.hypot(model._kperpmax, model._kparmax))
+    lk = np.linspace(np.log(k_lo), np.log(k_hi), n_knots)
+    p = np.asarray(model.ps_vv(np.exp(lk)), np.float64)
+    if not np.all(np.isfinite(p)) or np.any(p <= 0.0):
+        raise ValueError("device table build requires positive finite P(k)")
+    lp = np.log(p)
+    from ..util.interpolation import natural_spline_coefficients
+
+    y2 = natural_spline_coefficients(lk, lp)
+
+    # log P spans ~[-32, 5]; a plain f32 a·lp[i] + b·lp[i+1] evaluation
+    # rounds at ~|lp|·eps ≈ 4e-6 in the log.  Difference form — knot value
+    # plus b·Δ, with the knot value stored as an (hi, lo) f32 pair — keeps
+    # the product rounding on Δ ≈ slope·h ~ 0.1 instead (≈1e-8), so the
+    # device P grid matches the host spline to ~1e-7 relative.
+    lp_hi = lp.astype(np.float32)
+    lp_lo = (lp - lp_hi.astype(np.float64)).astype(np.float32)
+    dlp = np.diff(lp).astype(np.float32)
+
+    tabs = _build_tables_device_jit(
+        jnp.asarray(lp_hi), jnp.asarray(lp_lo), jnp.asarray(dlp),
+        jnp.asarray(y2, jnp.float32),
+        float(lk[0]), float(lk[1] - lk[0]),
+        int(model._nkperp), int(model._nkpar),
+        float(model._kperpmin), float(model._kperpmax),
+        float(model._kparmax), window, float(W),
+    )
+    out = dict(tabs)
+    if window == "exact":
+        out["a"] = jnp.asarray(Wi / 2.0, jnp.float32)
+    for key, v in _channel_vectors(model, z, chi).items():
+        out[key] = jnp.asarray(v, jnp.float32)
+    return out
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+def _build_tables_device_jit(lp_hi, lp_lo, dlp, y2, lk0, dlk, nkperp, nkpar,
+                             kperpmin, kperpmax, kparmax, window, W):
+    f32 = jnp.float32
+    kperp = jnp.logspace(
+        np.log10(kperpmin), np.log10(kperpmax), nkperp, dtype=f32
+    )
+    kpar = jnp.linspace(0.0, kparmax, nkpar, dtype=f32)
+    k2 = kpar[None, :] ** 2 + kperp[:, None] ** 2
+
+    # natural cubic spline of log P vs log k on the uniform knot grid, in
+    # difference form (see build_cl_tables_device); clamping b to [0, 1]
+    # pins out-of-range k (cannot occur by construction of the knot
+    # range) to the end values
+    u = (0.5 * jnp.log(k2) - f32(lk0)) / f32(dlk)
+    n = lp_hi.shape[0]
+    i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, n - 2)
+    b = jnp.clip(u - i, 0.0, 1.0)
+    a = 1.0 - b
+    h2_6 = f32(dlk * dlk / 6.0)
+    logP = lp_hi[i] + (
+        lp_lo[i] + b * dlp[i]
+        + ((a**3 - a) * y2[i] + (b**3 - b) * y2[i + 1]) * h2_6
+    )
+    d = jnp.exp(logP)
+    if window == "centre":
+        d = d * jnp.sinc(kpar[None, :] * f32(W / (2.0 * np.pi))) ** 2
+    mu2 = kpar[None, :] ** 2 / k2
+
+    norm = f32(kparmax / (2.0 * nkpar))
+
+    def dct1(x):
+        # DCT-I as the real part of the rfft of the even extension
+        ext = jnp.concatenate([x, x[:, -2:0:-1]], axis=-1)  # length 2N-2
+        return jnp.fft.rfft(ext).real * norm
+
+    out = dict(dd=dct1(d), dv=dct1(d * mu2), vv=dct1(d * mu2 * mu2))
+
+    if window == "exact":
+        # K̃ double antiderivative + β rows (see _double_antiderivative)
+        dr = f32(np.pi / kparmax)
+
+        def rc(x):
+            inc = (0.5 * dr) * (x[:, 1:] + x[:, :-1])
+            c = jnp.cumsum(inc[:, ::-1], axis=-1)[:, ::-1]
+            return jnp.pad(c, ((0, 0), (0, 1)))
+
+        for nm in ("dd", "dv", "vv"):
+            out[nm] = rc(rc(out[nm]))
+        # β = ∫_0^rmax I dr: the trapezoid sum of a DCT-I series collapses
+        # exactly to its endpoint terms — Σ″_j cos(πij/(N−1)) = 0 for every
+        # i ≥ 1 and Σ″_j (−1)^j = 0, leaving dr·norm·(N−1)·d[:, 0].  This
+        # replaces the f32 reverse-cumsum estimate (whose rounding noise
+        # dominated the affine restoration) with the host-exact value; for
+        # dv/vv the kpar = 0 column carries μ² = 0, so β is exactly zero.
+        out["beta_dd"] = f32(np.pi / kparmax) * norm * (nkpar - 1) * d[:, 0]
+        zero = jnp.zeros((nkperp,), f32)
+        out["beta_dv"] = zero
+        out["beta_vv"] = zero
+    return out
+
+
+def cl_roots_device(tables, lmax, threshold=1e-7):
+    """Per-ell channel-covariance roots [lmax+1, nz, nz], built on device.
+
+    ``cl_grid`` → per-ell diagonal normalisation → batched eigh root
+    (matrix_root_manynull semantics, util/linalg.py).  The float32
+    threshold default is 1e-7: eigenvalues below ~1e-7·max are f32
+    representation noise, and only R Rᵀ = C matters downstream (any
+    orthogonal mixing of root columns draws the same Gaussian ensemble).
+    Measured on v5e (tools/device_setup_probe.py): 2.3 s for
+    [1536, 256, 256] with ||R Rᵀ − C||∞ / ||C||∞ = 8e-6.
+
+    Replaces the reference's host per-ell loop (skysim.py:114-121 +
+    nputil.py:51) for the setup path.
+    """
+    return _cl_roots_jit(tables, int(lmax), float(threshold))
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _cl_roots_jit(tables, lmax, threshold):
+    from ..util import linalg
+
+    cla = cl_grid(tables, lmax)
+    nz = cla.shape[-1]
+    dmax = jnp.max(jnp.abs(jnp.diagonal(cla, axis1=1, axis2=2)), axis=1)
+    dmax = jnp.where(dmax > 0.0, dmax, 1.0)
+    cla_n = cla / dmax[:, None, None] + jnp.eye(nz, dtype=cla.dtype) * 1e-12
+    roots = linalg.batch_matrix_root(cla_n, threshold=threshold)
+    return roots * jnp.sqrt(dmax)[:, None, None]
 
 
 def _interp2d(arr, x, y):

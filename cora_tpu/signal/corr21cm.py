@@ -57,6 +57,53 @@ class Corr21cm(corr.RedshiftCorrelation, maps.Sky3d):
         )
         return clfast.cl_grid_np(tables, lmax)
 
+    def getsky(self, key=None):
+        """Unpolarised sky cube; device-built covariance on accelerators.
+
+        On accelerator backends the whole setup pipeline — P(k) grid, DCT
+        tables, C_l grid, per-ell covariance roots — runs as jitted device
+        programs (clfast.build_cl_tables_device / cl_roots_device): the
+        only host↔device traffic is a ~100 kB spline-knot upload, versus
+        minutes of host DCT/eigh plus a multi-hundred-MB roots transfer.
+        Falls back to the host path (Sky3d.getsky) on CPU, for ps_2d
+        models, or when the model's P(k) is not device-representable.
+        """
+        sky = self._getsky_device(key)
+        if sky is None:
+            return super().getsky(key)
+        return self.mean_nu(self.nu_pixels)[:, np.newaxis] + sky
+
+    def _getsky_device(self, key=None):
+        import jax
+
+        from ..core import skysim
+        from . import clfast
+
+        nu = np.asarray(self.nu_pixels)
+        if (
+            jax.default_backend() == "cpu"
+            or self.clarray_method != "clfast"
+            or self.ps_2d
+            or nu.size < 2
+        ):
+            return None
+        lmax = 3 * self.nside - 1
+        try:
+            tables = clfast.build_cl_tables_device(
+                self, nu, window="exact" if self.oversample else "none"
+            )
+        except ValueError:
+            return None
+        roots = clfast.cl_roots_device(tables, lmax)
+        parts = [
+            m
+            for _, m in skysim.mkfullsky_streamed(
+                None, self.nside, key=self._key(key),
+                fchunk=min(16, nu.size), roots=roots,
+            )
+        ]
+        return np.concatenate(parts, axis=0)[: nu.size]
+
     def __init__(self, ps=None, redshift=0.0, sigma_v=0.0, **kwargs):
         if ps is None:
             redshift = 1.5

@@ -346,3 +346,73 @@ def test_getsky_clarray_method_clfast():
     m.clarray_method = "romberg"
     cr = np.asarray(m._clarray(lmax))
     assert cr.shape == cf.shape and np.isfinite(cr).all()
+
+
+def test_device_cl_setup():
+    """Device-side table/roots build equals the host f64 path (clfast).
+
+    Validates the zero-transfer setup pipeline (VERDICT r3 items 1/5):
+    build_cl_tables_device (spline-knot upload → P grid → DCT-I via rfft →
+    K̃/β) and cl_roots_device (cl_grid → batched eigh root) against
+    build_cl_tables(dtype=f64) + cl_grid_np + host eigh.  f32 contract:
+    tables ~1e-6 relative-to-max, C_l grid < 1e-5, and the roots must
+    reconstruct the host covariance to < 1e-5 (only R Rᵀ = C matters —
+    column mixing between near-degenerate eigenvectors is free).
+    """
+    from cora_tpu.signal.corr21cm import Corr21cm
+    from cora_tpu.signal import clfast
+
+    class SmallCorr(Corr21cm):
+        _nkperp = 120
+        _nkpar = 4096
+
+    m = SmallCorr()
+    freqs = np.linspace(400.0, 800.0, 16, endpoint=False)
+    lmax = 95
+
+    th = clfast.build_cl_tables(m, freqs, dtype=np.float64)
+    cla_h = clfast.cl_grid_np(th, lmax)
+
+    td = clfast.build_cl_tables_device(m, freqs)
+    for nm in ("dd", "dv", "vv", "beta_dd", "a"):
+        a = np.asarray(td[nm], np.float64)
+        b = np.asarray(th[nm], np.float64)
+        assert np.abs(a - b).max() <= 5e-6 * np.abs(b).max(), nm
+    # β for dv/vv is exactly zero (μ² = 0 at kpar = 0); the host path
+    # carries only f64 trapezoid noise there
+    assert np.asarray(td["beta_dv"]).max() == 0.0
+    assert np.abs(th["beta_dv"]).max() <= 1e-12 * np.abs(th["beta_dd"]).max()
+
+    cla_d = np.asarray(clfast.cl_grid(td, lmax), np.float64)
+    assert np.abs(cla_d - cla_h).max() <= 1e-5 * np.abs(cla_h).max()
+
+    roots = np.asarray(clfast.cl_roots_device(td, lmax), np.float64)
+    rec = np.einsum("lij,lkj->lik", roots, roots)
+    assert np.abs(rec - cla_h).max() <= 1e-5 * np.abs(cla_h).max()
+
+
+def test_mkfullsky_streamed_roots_arg():
+    """mkfullsky_streamed(roots=...) equals the corr-derived path."""
+    nside, lmax, nz = 16, 47, 4
+    l = np.arange(lmax + 1, dtype=np.float64)
+    cl = np.where(l < 2, 0.0, (l + 1.0) ** -2)
+    corr = np.zeros((lmax + 1, nz, nz))
+    for i in range(nz):
+        corr[:, i, i] = cl
+
+    key = jax.random.PRNGKey(3)
+    ref = np.concatenate(
+        [m for _, m in skysim.mkfullsky_streamed(corr, nside, key=key)],
+        axis=0,
+    )[:nz]
+    roots = skysim.host_covariance_roots(corr).astype(np.float32)
+    got = np.concatenate(
+        [
+            m
+            for _, m in skysim.mkfullsky_streamed(
+                None, nside, key=key, roots=roots
+            )
+        ],
+        axis=0,
+    )[:nz]
+    assert np.allclose(got, ref, atol=1e-7 + 1e-6 * np.abs(ref).max())
