@@ -188,6 +188,10 @@ def main():
         model = Corr21cm()
         td = clfast.build_cl_tables_device(model, freqs)
         roots_d = clfast.cl_roots_device(td, lmax)
+        # drop the host references to the DCT-table device buffers: the
+        # runtime keeps them alive for the queued roots program; holding
+        # them here would pin ~200 MB of HBM through the whole run
+        del td
         setup["roots_s"] = round(time.time() - t0, 1)
         print(f"# device C_l/roots programs dispatched "
               f"({setup['roots_s']}s)", file=sys.stderr)

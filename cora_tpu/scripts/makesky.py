@@ -179,9 +179,12 @@ def cli():
     """
     # compiled programs survive the process (CORA_TPU_COMPILE_CACHE=""
     # opts out) — repeated CLI invocations skip the XLA compile
-    from ..util.compute import enable_compile_cache
+    from ..util.compute import enable_compile_cache, prefetch_backend_init
 
     enable_compile_cache()
+    # start the backend session flush now so model setup overlaps it
+    # (see prefetch_backend_init)
+    prefetch_backend_init()
 
 
 @cli.command()

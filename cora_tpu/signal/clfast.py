@@ -370,14 +370,14 @@ def cl_roots_device(tables, lmax, threshold=1e-7):
     Replaces the reference's host per-ell loop (skysim.py:114-121 +
     nputil.py:51) for the setup path.
     """
-    return _cl_roots_jit(tables, int(lmax), float(threshold))
+    cla = cl_grid_chunked(tables, int(lmax))
+    return _roots_from_cla_jit(cla, float(threshold))
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _cl_roots_jit(tables, lmax, threshold):
+@partial(jax.jit, static_argnums=(1,))
+def _roots_from_cla_jit(cla, threshold):
     from ..util import linalg
 
-    cla = cl_grid(tables, lmax)
     nz = cla.shape[-1]
     dmax = jnp.max(jnp.abs(jnp.diagonal(cla, axis1=1, axis2=2)), axis=1)
     dmax = jnp.where(dmax > 0.0, dmax, 1.0)
@@ -526,6 +526,43 @@ def cl_grid(tables, lmax):
 
     Returns cla [lmax+1, nz, nz] in the table dtype; fully jitted.
     """
+    chi = tables["chi"]
+    la = jnp.arange(lmax + 1, dtype=chi.dtype)
+    return _cl_grid_rows(tables, la)
+
+
+def cl_grid_chunked(tables, lmax, l_chunk=128):
+    """cl_grid evaluated in ℓ-blocks to bound HBM temporaries.
+
+    The fused grid holds O(dozens) of [L, nz, nz] gather temporaries —
+    21 GB at the flagship size (OOM on a 16 GB chip); blocking over ℓ
+    caps the live set at ~l_chunk/L of that.  Blocks run as separate
+    dispatches of ONE compiled block program (a ``lax.map`` over blocks
+    reproducibly crashes the axon TPU worker — the scan-wrapped 8M-index
+    table gathers; a single block program is fine, so the loop lives on
+    the host and the results are concatenated on device).  Same values
+    as cl_grid.
+    """
+    L = lmax + 1
+    nblk = -(-L // l_chunk)
+    chi = tables["chi"]
+    blocks = [
+        _cl_grid_rows_jit(
+            tables,
+            jnp.arange(ib * l_chunk, (ib + 1) * l_chunk, dtype=chi.dtype),
+        )
+        for ib in range(nblk)
+    ]
+    return jnp.concatenate(blocks, axis=0)[:L]
+
+
+@jax.jit
+def _cl_grid_rows_jit(tables, la):
+    return _cl_grid_rows(tables, la)
+
+
+def _cl_grid_rows(tables, la):
+    """C_l rows for an arbitrary multipole vector ``la`` [nl] (device)."""
     kperpmin, kperpmax, nkperp, kparmax = (
         tables["grid"][0],
         tables["grid"][1],
@@ -535,7 +572,6 @@ def cl_grid(tables, lmax):
     chi = tables["chi"]
     nz = chi.shape[0]
 
-    la = jnp.arange(lmax + 1, dtype=chi.dtype)
     la = jnp.where(la == 0.0, 1e-10, la)
 
     xc = 0.5 * (chi[:, None] + chi[None, :])  # [nz, nz]

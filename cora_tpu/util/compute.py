@@ -38,6 +38,27 @@ def accel_device():
         yield
 
 
+def prefetch_backend_init():
+    """Dispatch a trivial device program WITHOUT blocking on it.
+
+    Tunnelled TPU runtimes pay a one-time session-init flush on the first
+    *executed* program (~72 s warm service / ~306 s cold on the axon
+    backend; tools/coldstart_r4b*.out).  The flush proceeds server-side
+    once dispatched (tools/flush_overlap.out hid it completely behind
+    75 s of host work), so calling this at process start makes all
+    subsequent host-side setup — imports, table builds, compiles —
+    overlap it instead of stacking on top of it.
+
+    No-op on CPU backends.  Returns the dispatched array (block on it to
+    measure the un-hidden remainder) or None.
+    """
+    if jax.default_backend() == "cpu":
+        return None
+    import jax.numpy as jnp
+
+    return jax.jit(lambda x: x + 1.0)(jnp.zeros(8, jnp.float32))
+
+
 def enable_compile_cache(cache_dir=None, min_compile_secs=0.0):
     """Enable JAX's persistent compilation cache for this process.
 
