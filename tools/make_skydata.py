@@ -56,10 +56,20 @@ def main():
     b = 90.0 - np.degrees(theta)  # galactic latitude (maps are galactic)
 
     # --- Haslam 408 MHz ---
+    # Grounded against the published destriped map (Remazeilles et al.
+    # 2015; docs/skydata.md): zero level ≈ 8.7 K (CMB 2.73 K +
+    # extragalactic background), high-|b| median ≈ 20 K, minimum ≈ 13 K,
+    # plane ridge hundreds of K.
     plane = np.exp(-0.5 * (b / 5.0) ** 2)
+    # The real plane ridge brightens strongly toward the inner galaxy
+    # (|l| ≲ 60°) and fades toward the anticentre — a uniform ridge
+    # overweights the plane in the full-sky variance.
+    l_gal = np.degrees(phi)
+    l_wrap = np.minimum(l_gal, 360.0 - l_gal)
+    lon_prof = 0.18 + 0.82 * np.exp(-0.5 * (l_wrap / 55.0) ** 2)
     fluct = grf(NSIDE, 2.8, seed=1)
-    base = 18.0 + 230.0 * plane * (1.0 + 0.5 * np.tanh(fluct))
-    haslam = base * np.exp(0.45 * grf(NSIDE, 2.6, seed=2))
+    base = 11.0 + 260.0 * lon_prof * plane * (1.0 + 0.5 * np.tanh(fluct))
+    haslam = 8.7 + base * np.exp(0.45 * grf(NSIDE, 2.6, seed=2))
     haslam = haslam.astype(np.float32)
 
     # --- spectral index maps (values ~ -2.8 ± 0.15, plane slightly flatter)
@@ -72,10 +82,13 @@ def main():
     spectral_gd = spec_map(5, -2.75, 0.07)
 
     # --- Faraday rotation measure map [rad/m^2] ---
+    # Grounded against RM-catalogue statistics (Taylor et al. 2009;
+    # Oppermann et al. 2012; docs/skydata.md): σ_RM ≈ 6-15 rad/m² at
+    # high latitude, ~100+ towards the plane.
     g1 = grf(NSIDE, 2.4, seed=6)
     g2 = grf(NSIDE, 2.2, seed=7)
-    sigma_rm = 4.0 + 90.0 * np.exp(-0.5 * (b / 8.0) ** 2)
-    faraday = (sigma_rm * g1 + 2.0 * g2).astype(np.float32)
+    sigma_rm = 8.5 + 100.0 * np.exp(-0.5 * (b / 8.0) ** 2)
+    faraday = (sigma_rm * g1 + 3.0 * g2).astype(np.float32)
 
     np.savez(
         os.path.join(OUT, "skydata.npz"),
