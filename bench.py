@@ -192,9 +192,9 @@ def main():
         # runtime keeps them alive for the queued roots program; holding
         # them here would pin ~200 MB of HBM through the whole run
         del td
-        setup["roots_s"] = round(time.time() - t0, 1)
+        setup["roots_dispatch_s"] = round(time.time() - t0, 1)
         print(f"# device C_l/roots programs dispatched "
-              f"({setup['roots_s']}s)", file=sys.stderr)
+              f"({setup['roots_dispatch_s']}s)", file=sys.stderr)
     elif os.path.exists(roots_path):
         roots = np.load(roots_path)
         print(f"# covariance roots: loaded cache ({time.time()-t0:.1f}s)",
@@ -241,8 +241,53 @@ def main():
     sht_tables = xfer.put_tree(op.tables(False))
     if roots_d is None:
         roots_d = xfer.put(roots)
-    setup["sht_s"] = round(time.time() - t0, 1)
-    print(f"# SHT tables setup+transfer: {setup['sht_s']}s", file=sys.stderr)
+    setup["sht_dispatch_s"] = round(time.time() - t0, 1)
+    print(f"# SHT tables built+dispatched: {setup['sht_dispatch_s']}s",
+          file=sys.stderr)
+
+    # Drain the queued device work NOW, one stage at a time, each pinned
+    # by a tiny D2H probe fetch.  block_until_ready does NOT synchronize
+    # on the axon runtime (tools/device_setup_attrib*.py: 3.2 GB of
+    # tables report "ready" in 0.0 s and the whole queue then lands on
+    # the first step — BENCH_r03's 311 s "warmup"), and serialized stage
+    # execution is also measurably faster end-to-end than letting the
+    # queue drain under the first step (~295 s vs 443-683 s total in the
+    # round-4 attribution runs).
+    t0 = time.time()
+    _flush.block_until_ready()
+    _ = float(jnp.abs(_flush).sum())
+    setup["backend_init_s"] = round(time.time() - t0, 1)
+    setup["backend_init_total_s"] = round(time.time() - t_flush0, 1)
+    print(f"# backend session init: {setup['backend_init_s']}s un-hidden "
+          f"({setup['backend_init_total_s']}s total since dispatch)",
+          file=sys.stderr)
+
+    t0 = time.time()
+    _ = float(jnp.sum(jnp.abs(
+        roots_d[:: max(1, roots_d.shape[0] // 8), 0, 0]
+    )))
+    dt = time.time() - t0
+    setup["roots_s"] = round(
+        setup.get("roots_dispatch_s", setup.get("roots_s", 0.0)) + dt, 1
+    )
+    print(f"# covariance roots executed (+{dt:.1f}s)", file=sys.stderr)
+
+    t0 = time.time()
+    _leaves = jax.tree_util.tree_leaves(sht_tables)
+
+    @jax.jit
+    def _probe_leaves(ls):
+        return sum(
+            jnp.sum(jnp.abs(l.ravel()[:: max(1, l.size // 64)])).astype(
+                jnp.float32
+            )
+            for l in ls
+        )
+
+    _ = float(_probe_leaves(_leaves))
+    dt = time.time() - t0
+    setup["sht_s"] = round(setup["sht_dispatch_s"] + dt, 1)
+    print(f"# SHT tables resident (+{dt:.1f}s)", file=sys.stderr)
 
     fchunk = min(args.fchunk, nfreq)
     # default Legendre-stage width: all frequencies when the working set
@@ -345,20 +390,6 @@ def main():
     def step(key):
         out = compiled(key, roots_d, sht_tables)
         return float(out.sum()) if args.sims > 1 else float(out)
-
-    # Settle the backend session flush dispatched at the top of main():
-    # everything between the dispatch and here (imports, roots, SHT tables,
-    # exe load) overlapped it server-side.  backend_init_s is the UN-hidden
-    # remainder actually paid on the critical path; backend_init_total_s is
-    # the full flush wall since dispatch (service-state diagnostic: ~72 s
-    # warm service, ~306 s cold, tools/coldstart_r4b*.out).
-    t0 = time.time()
-    _flush.block_until_ready()
-    setup["backend_init_s"] = round(time.time() - t0, 1)
-    setup["backend_init_total_s"] = round(time.time() - t_flush0, 1)
-    print(f"# backend session init: {setup['backend_init_s']}s un-hidden "
-          f"({setup['backend_init_total_s']}s total since dispatch)",
-          file=sys.stderr)
 
     t0 = time.time()
     try:

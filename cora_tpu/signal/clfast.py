@@ -356,6 +356,113 @@ def _build_tables_device_jit(lp_hi, lp_lo, dlp, y2, lk0, dlk, nkperp, nkpar,
     return out
 
 
+def cl_grid_combined(tables, lmax, l_chunk=512):
+    """Device C_l grid with the y-combined factorization of cl_grid_np.
+
+    The rpar (y) table index depends only on the channel pair, never on
+    ℓ, so the three spectra are y-lerped and Kaiser-combined into ONE
+    [nz², nkperp] matrix N first (row gathers from a y-major stacked
+    table — contiguous 3·nkperp rows, no ℓ dimension), leaving the
+    ℓ-dependent part as a single row-lerp of N.  Compared to
+    :func:`cl_grid_chunked` (12 independent output-sized 2-D gathers per
+    ℓ-block) this removes ℓ from every table gather: measured on v5e the
+    grid+eigh roots drop from 71 s to a few seconds at the flagship
+    1536 × 256² size.  Same values as cl_grid_np to f32 rounding.
+
+    The x-stage runs as host-looped dispatches of one compiled ℓ-block
+    program: scan-wrapped many-million-index gathers crash the axon TPU
+    worker (see cl_grid_chunked), and blocking also bounds the [L, nz²]
+    gather temporaries.
+    """
+    L = int(lmax) + 1
+    la = np.arange(L, dtype=np.float64)
+    la[0] = 1e-10
+    log10_la = np.log10(la)
+
+    N = _cl_grid_combined_N_jit(tables)
+    nz = int(tables["chi"].shape[0])
+    blocks = [
+        _cl_grid_xlerp_jit(
+            tables, N, jnp.asarray(log10_la[lo:lo + l_chunk], jnp.float32)
+        )
+        for lo in range(0, L, l_chunk)
+    ]
+    return jnp.concatenate(blocks, axis=0).reshape(L, nz, nz)
+
+
+@jax.jit
+def _cl_grid_combined_N_jit(tables):
+    """y-combined matrix N [nz², nkperp]: everything ℓ-independent."""
+    dd, dv, vv = tables["dd"], tables["dv"], tables["vv"]
+    nx, ny = dd.shape
+    kparmax = tables["grid"][3]
+    chi = tables["chi"]
+
+    xc = 0.5 * (chi[:, None] + chi[None, :])
+    rpar = jnp.abs(chi[:, None] - chi[None, :])
+
+    D, f, b, pf = tables["D"], tables["f"], tables["b"], tables["pf"]
+    A = (D * pf)[:, None] * (D * pf)[None, :]
+    pre = A / (xc**2 * jnp.pi)
+    bb = (pre * (b[:, None] * b[None, :])).ravel()
+    fb = (pre * (f[:, None] * b[None, :] + f[None, :] * b[:, None])).ravel()
+    ff = (pre * (f[:, None] * f[None, :])).ravel()
+
+    # y-major stacked spectra: one row gather fetches all three x-rows
+    stackT = jnp.stack([dd.T, dv.T, vv.T], axis=1).reshape(ny, 3 * nx)
+
+    def ylerp_combined(yflat, coefs):
+        yy = jnp.clip(yflat, 0.0, ny - 1e-5)
+        y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, ny - 2)
+        fy = (yy - y0)[:, None]
+        R = stackT[y0] * (1.0 - fy) + stackT[y0 + 1] * fy  # [P, 3*nx]
+        return jnp.einsum("tp,ptk->pk", coefs, R.reshape(-1, 3, nx))
+
+    if "a" in tables:
+        av = tables["a"]
+        dr = jnp.pi / kparmax
+        norm = (1.0 / (4.0 * av[:, None] * av[None, :])).ravel()
+        coefs = jnp.stack([bb * norm, fb * norm, ff * norm])
+        apb = (av[:, None] + av[None, :]).ravel()
+        amb = jnp.abs(av[:, None] - av[None, :]).ravel()
+        rp = rpar.ravel()
+        N = (
+            ylerp_combined((rp + apb) / dr, coefs)
+            + ylerp_combined(jnp.abs(rp - apb) / dr, coefs)
+            - ylerp_combined((rp + amb) / dr, coefs)
+            - ylerp_combined(jnp.abs(rp - amb) / dr, coefs)
+        )
+        aff = 2.0 * (jnp.maximum(rp, apb) - jnp.maximum(rp, amb))
+        beta = jnp.stack(
+            [tables["beta_dd"], tables["beta_dv"], tables["beta_vv"]]
+        )
+        N = N + aff[:, None] * jnp.einsum("tp,tk->pk", coefs, beta)
+    else:
+        coefs = jnp.stack([bb, fb, ff])
+        N = ylerp_combined((rpar / (jnp.pi / kparmax)).ravel(), coefs)
+    return N
+
+
+@jax.jit
+def _cl_grid_xlerp_jit(tables, N, log10_la):
+    """Row-lerp of N at x(ℓ, pair) for one ℓ-block → [nl, nz²]."""
+    nx = N.shape[1]
+    kperpmin, kperpmax, nkperp = (
+        tables["grid"][0], tables["grid"][1], tables["grid"][2]
+    )
+    chi = tables["chi"]
+    xc = 0.5 * (chi[:, None] + chi[None, :])
+    lxk = jnp.log10(xc.ravel() * kperpmin)
+    xsc = (nkperp - 1.0) / jnp.log10(kperpmax / kperpmin)
+    x = (log10_la[None, :] - lxk[:, None]) * xsc  # [P, nl]
+    x = jnp.clip(x, 0.0, nx - 1e-5)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, nx - 2)
+    fx = x - x0
+    g0 = jnp.take_along_axis(N, x0, axis=1)
+    g1 = jnp.take_along_axis(N, x0 + 1, axis=1)
+    return (g0 * (1.0 - fx) + g1 * fx).T
+
+
 def cl_roots_device(tables, lmax, threshold=1e-7):
     """Per-ell channel-covariance roots [lmax+1, nz, nz], built on device.
 
@@ -370,7 +477,7 @@ def cl_roots_device(tables, lmax, threshold=1e-7):
     Replaces the reference's host per-ell loop (skysim.py:114-121 +
     nputil.py:51) for the setup path.
     """
-    cla = cl_grid_chunked(tables, int(lmax))
+    cla = cl_grid_combined(tables, int(lmax))
     return _roots_from_cla_jit(cla, float(threshold))
 
 

@@ -386,6 +386,12 @@ def test_device_cl_setup():
     cla_d = np.asarray(clfast.cl_grid(td, lmax), np.float64)
     assert np.abs(cla_d - cla_h).max() <= 1e-5 * np.abs(cla_h).max()
 
+    # the y-combined factorized grid (the production roots path) must
+    # match too, including across its ℓ-block boundaries
+    cla_c = np.asarray(clfast.cl_grid_combined(td, lmax, l_chunk=32),
+                       np.float64)
+    assert np.abs(cla_c - cla_h).max() <= 1e-5 * np.abs(cla_h).max()
+
     roots = np.asarray(clfast.cl_roots_device(td, lmax), np.float64)
     rec = np.einsum("lij,lkj->lik", roots, roots)
     assert np.abs(rec - cla_h).max() <= 1e-5 * np.abs(cla_h).max()
