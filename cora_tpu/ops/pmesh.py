@@ -480,15 +480,24 @@ def _stencil_deposit(ii, density, pix_i, pix_w, rad_i, rad_w, out_pad,
     # accumulator covers the FULL belt [nbr rows]: stencil sources live
     # in rows [DR, nbr-DR) and their |a| <= DR shifted targets land
     # anywhere in [0, nbr) — margin rows receive boundary mass here
+    # Per ring offset a: sum the φ-rolls FIRST, then apply ONE slice-add.
+    # The previous per-(a, b) accumulation interleaved (2DR+1)(2DJ+1)=99
+    # dynamic-update-slice+add chains in the scan body, which sent XLA's
+    # algebraic simplifier into its 50-run circular-rewrite guard on the
+    # SPMD-partitioned scan region (MULTICHIP_r03; bisected to this loop
+    # in round 4).  Row-summing keeps the adds dense and leaves only
+    # (2DR+1) update chains; values are identical up to f32 addition
+    # order within a ring row.
     acc = jnp.zeros((2 * KR + 1, nbr, W), f32)
     for a in range(-DR, DR + 1):
+        rows = jnp.zeros((2 * KR + 1, n_rows, W), f32)
         for b in range(-DJ, DJ + 1):
             wk = jnp.sum(jnp.where((dr == a) & (dj == b), pw, 0.0), axis=1)
             m = (den * wk)[None, :] * wr_k            # [2KR+1, n]
             m = m.reshape(2 * KR + 1, n_rows, W)
             # shift source → target: out[r+a, j+b] += m[r, j]
-            m = jnp.roll(m, b, axis=2)
-            acc = acc.at[:, DR + a : DR + a + n_rows, :].add(m)
+            rows = rows + jnp.roll(m, b, axis=2)
+        acc = acc.at[:, DR + a : DR + a + n_rows, :].add(rows)
     acc = acc + poison
 
     # add the acc planes into padded output rows [ii+c+KR], full belt
