@@ -914,6 +914,64 @@ def _fft_last(op, t, x, inverse=False):
     return jnp.fft.fft(x, axis=-1)
 
 
+def _conv_fam_meta(op, fam):
+    """(conv length, (n1, n2)) for a ring-FFT table family: "" = the folded
+    Bluestein size nfft, "2" = the foldless size nfft2, "B{n}" = a banded
+    cap conv size."""
+    if fam == "":
+        return op.nfft, op._fft_n1n2
+    if fam == "2":
+        return op.nfft2, op._fft2_n1n2
+    n_b = int(fam[1:])
+    return n_b, op._cap_band_ffts[n_b]["n1n2"]
+
+
+def _conv(op, t, a, fam, kkey, out_len, rows=None, stack2=False, conj=False):
+    """Circular convolution IDFT(DFT(a) ∘ K)/n over the last axis.
+
+    ``a`` arrives UNPADDED (its width is the structural in_len hint); the
+    kernel K is the device table ``t[kkey]`` (``rows`` slices its ring
+    rows, ``stack2`` doubles them for the parity paths, ``conj`` selects
+    the adjoint direction).  conv_mode="fused" runs the transpose-free
+    four-step form (fftmm.conv_apply: the kernel is stored pre-permuted
+    into the digit-reversed [k1, k2] spectrum layout as ``t[kkey+"P"]``);
+    "twostep" runs the original forward-multiply-inverse pipeline.
+    """
+    n, (n1, n2) = _conv_fam_meta(op, fam)
+    cdtype = a.dtype
+    in_len = a.shape[-1]
+    fused = op.fft_mode == "mm" and op.conv_mode == "fused"
+    K = t[kkey + "P"] if fused else t[kkey]
+    if rows is not None:
+        K = K[rows]
+    K = K.astype(cdtype)
+    if stack2:
+        K = jnp.concatenate([K, K], axis=0)
+    if conj:
+        K = jnp.conj(K)
+    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, n - in_len)])
+    if fused:
+        ft = {"W1": t[f"fft{fam}W1"], "T": t[f"fft{fam}T"],
+              "W2": t[f"fft{fam}W2"]}
+        it = {"W1": t[f"ifft{fam}W1"], "T": t[f"ifft{fam}T"],
+              "W2": t[f"ifft{fam}W2"]}
+        return fftmm.conv_apply(
+            a, ft, it, K, n1, n2, op.fft_precision,
+            in_len=in_len, out_len=out_len, cmul=op.fft_cmul,
+        )
+    if fam == "":
+        return _fft_last(op, t, _fft_last(op, t, a) * K, inverse=True)
+    if fam == "2":
+        return _fft2_last(
+            op, t, _fft2_last(op, t, a, in_len=in_len) * K,
+            inverse=True, out_len=out_len,
+        )
+    return _fftB(
+        op, t, _fftB(op, t, a, n, in_len=in_len) * K,
+        n, inverse=True, out_len=out_len,
+    )
+
+
 def _rings_to_complex(op, t, G):
     """S(pix) = Σ_{m>=0} G[ring(pix), m] e^{i m φ(pix)} via batched Bluestein."""
     cdtype = G.dtype
@@ -925,11 +983,8 @@ def _rings_to_complex(op, t, G):
     H = H.at[..., ridx, t["fold_idx"]].add(Gp)
 
     A = t["chirp_A"].astype(cdtype)
-    Bf = t["chirp_Bf"].astype(cdtype)
 
-    a = H[..., :nq_max] * A
-    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, op.nfft - nq_max)])
-    conv = _fft_last(op, t, _fft_last(op, t, a) * Bf, inverse=True)
+    conv = _conv(op, t, H[..., :nq_max] * A, "", "chirp_Bf", nq_max)
     S = conv[..., :nq_max] * A
 
     return S[..., t["r_of_pix"], t["j_of_pix"]]
@@ -942,11 +997,8 @@ def _map_to_rings(op, t, fmap, cdtype):
     fr = fr.at[..., t["r_of_pix"], t["j_of_pix"]].set(fmap.astype(cdtype))
 
     A = t["chirp_A"].astype(cdtype)
-    Bf = t["chirp_Bf"].astype(cdtype)
 
-    a = jnp.conj(fr) * A
-    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, op.nfft - nq_max)])
-    conv = _fft_last(op, t, _fft_last(op, t, a) * Bf, inverse=True)
+    conv = _conv(op, t, jnp.conj(fr) * A, "", "chirp_Bf", nq_max)
     H = jnp.conj(conv[..., :nq_max] * A)
 
     G = H[..., jnp.arange(op.nring)[:, None], t["fold_idx"]]
@@ -979,11 +1031,7 @@ def _rings_to_grid(op, t, G):
     cdtype = G.dtype
     nq_max = t["bl_C"].shape[-1]
 
-    a = G * t["bl_A"].astype(cdtype)
-    pad = op.nfft2 - a.shape[-1]
-    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
-    conv = _fft2_last(op, t, _fft2_last(op, t, a) * t["bl_Bf"].astype(cdtype),
-                      inverse=True)
+    conv = _conv(op, t, G * t["bl_A"].astype(cdtype), "2", "bl_Bf", nq_max)
     S = conv[..., :nq_max] * t["bl_C"].astype(cdtype)
 
     # real-field assembly on the grid: f = 2 Re S - Re G_0 (only on
@@ -999,12 +1047,7 @@ def _grid_to_rings(op, t, fgrid, cdtype):
         return _grid_to_rings_split(op, t, fgrid, cdtype)
     L = op.lmax + 1
     a = fgrid.astype(cdtype) * jnp.conj(t["bl_C"]).astype(cdtype)
-    pad = op.nfft2 - a.shape[-1]
-    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
-    conv = _fft2_last(
-        op, t, _fft2_last(op, t, a) * jnp.conj(t["bl_Bf"]).astype(cdtype),
-        inverse=True,
-    )
+    conv = _conv(op, t, a, "2", "bl_Bf", L, conj=True)
     # the conjugate-chirp convolution evaluates at integer m positions
     return conv[..., :L] * jnp.conj(t["bl_A"]).astype(cdtype)
 
@@ -1026,14 +1069,8 @@ def _cap_real_synth(op, t, Gcap):
     """Polar-cap real synthesis via the generalized Bluestein convolution."""
     cdtype = Gcap.dtype
     nq_cap = t["bl_C_cap"].shape[-1]
-    a = Gcap * t["bl_A_cap"].astype(cdtype)
-    L_in = a.shape[-1]
-    pad = op.nfft2 - a.shape[-1]
-    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
-    conv = _fft2_last(
-        op, t,
-        _fft2_last(op, t, a, in_len=L_in) * t["bl_Bf_cap"].astype(cdtype),
-        inverse=True, out_len=nq_cap,
+    conv = _conv(
+        op, t, Gcap * t["bl_A_cap"].astype(cdtype), "2", "bl_Bf_cap", nq_cap
     )
     S = conv[..., :nq_cap] * t["bl_C_cap"].astype(cdtype)
     valid = (t["bl_C_cap"] != 0.0).astype(S.real.dtype)
@@ -1067,12 +1104,7 @@ def _cap_band_conv(op, t, Gcap, b, real_out):
     gs = Gcap[..., 2 * lo - i1: 2 * lo - i0, :M]
     g = jnp.concatenate([gn, gs], axis=-2)
     a = g * t[f"bl_A_cb{b}"].astype(cdtype)
-    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, n_b - a.shape[-1])])
-    conv = _fftB(
-        op, t,
-        _fftB(op, t, a, n_b, in_len=M) * t[f"bl_Bf_cb{b}"].astype(cdtype),
-        n_b, inverse=True, out_len=q,
-    )
+    conv = _conv(op, t, a, f"B{n_b}", f"bl_Bf_cb{b}", q)
     S = conv[..., :q] * t[f"bl_C_cb{b}"].astype(cdtype)
     if not real_out:
         return S
@@ -1113,13 +1145,7 @@ def _cap_adjoint_banded(op, t, fcap, cdtype):
         fs = fcap[..., 2 * lo - i1: 2 * lo - i0, :q]
         f = jnp.concatenate([fn_, fs], axis=-2).astype(cdtype)
         a = f * jnp.conj(t[f"bl_C_cb{b}"]).astype(cdtype)
-        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, n_b - a.shape[-1])])
-        conv = _fftB(
-            op, t,
-            _fftB(op, t, a, n_b, in_len=q)
-            * jnp.conj(t[f"bl_Bf_cb{b}"]).astype(cdtype),
-            n_b, inverse=True, out_len=M,
-        )
+        conv = _conv(op, t, a, f"B{n_b}", f"bl_Bf_cb{b}", M, conj=True)
         G = conv[..., :M] * jnp.conj(t[f"bl_A_cb{b}"]).astype(cdtype)
         if L > M:
             G = jnp.pad(G, [(0, 0)] * (G.ndim - 1) + [(0, L - M)])
@@ -1208,18 +1234,13 @@ def _cap_real_synth_parity(op, t, Ge, Go):
     lo = op._eq_lo
     nq_cap = t["bl_C_cap"].shape[-1]
     A_n = t["bl_A_cap"][:lo].astype(cdtype)
-    Bf_n = t["bl_Bf_cap"][:lo].astype(cdtype)
     C_n = t["bl_C_cap"][:lo].astype(cdtype)
 
     g = jnp.concatenate([Ge[..., :lo, :], Go[..., :lo, :]], axis=-2)
     a = g * jnp.concatenate([A_n, A_n], axis=0)
-    L_in = a.shape[-1]
-    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, op.nfft2 - a.shape[-1])])
-    conv = _fft2_last(
-        op, t,
-        _fft2_last(op, t, a, in_len=L_in)
-        * jnp.concatenate([Bf_n, Bf_n], axis=0),
-        inverse=True, out_len=nq_cap,
+    conv = _conv(
+        op, t, a, "2", "bl_Bf_cap", nq_cap,
+        rows=slice(0, lo), stack2=True,
     )
     Se = conv[..., :lo, :nq_cap]
     So = conv[..., lo:, :nq_cap]
@@ -1239,19 +1260,15 @@ def _cap_band_conv_parity(op, t, Ge, Go, b, real_out):
     R = i1 - i0
     cdtype = Ge.dtype
     A_n = t[f"bl_A_cb{b}"][:R].astype(cdtype)
-    Bf_n = t[f"bl_Bf_cb{b}"][:R].astype(cdtype)
     C_n = t[f"bl_C_cb{b}"][:R].astype(cdtype)
 
     g = jnp.concatenate(
         [Ge[..., i0:i1, :M], Go[..., i0:i1, :M]], axis=-2
     )
     a = g * jnp.concatenate([A_n, A_n], axis=0)
-    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, n_b - a.shape[-1])])
-    conv = _fftB(
-        op, t,
-        _fftB(op, t, a, n_b, in_len=M)
-        * jnp.concatenate([Bf_n, Bf_n], axis=0),
-        n_b, inverse=True, out_len=q,
+    conv = _conv(
+        op, t, a, f"B{n_b}", f"bl_Bf_cb{b}", q,
+        rows=slice(0, R), stack2=True,
     )
     Se = conv[..., :R, :q]
     So = conv[..., R:, :q]
@@ -1423,15 +1440,7 @@ def _rings_to_grid_complex(op, t, G):
             Scap = _cap_synth_banded(op, t, Gcap, False, nq_cap)
         else:
             a = Gcap * t["bl_A_cap"].astype(cdtype)
-            L_in = a.shape[-1]
-            pad = op.nfft2 - a.shape[-1]
-            a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
-            conv = _fft2_last(
-                op, t,
-                _fft2_last(op, t, a, in_len=L_in)
-                * t["bl_Bf_cap"].astype(cdtype),
-                inverse=True, out_len=nq_cap,
-            )
+            conv = _conv(op, t, a, "2", "bl_Bf_cap", nq_cap)
             Scap = conv[..., :nq_cap] * t["bl_C_cap"].astype(cdtype)
         if nq_max > nq_cap:
             Scap = jnp.pad(
@@ -1478,15 +1487,7 @@ def _grid_to_rings_split(op, t, fgrid, cdtype):
             [Gcap[..., :lo, :], Geq, Gcap[..., lo:, :]], axis=-2
         )
     a = fcap.astype(cdtype) * jnp.conj(t["bl_C_cap"]).astype(cdtype)
-    nq_in = a.shape[-1]
-    pad = op.nfft2 - a.shape[-1]
-    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
-    conv = _fft2_last(
-        op, t,
-        _fft2_last(op, t, a, in_len=nq_in)
-        * jnp.conj(t["bl_Bf_cap"]).astype(cdtype),
-        inverse=True, out_len=L,
-    )
+    conv = _conv(op, t, a, "2", "bl_Bf_cap", L, conj=True)
     Gcap = conv[..., :L] * jnp.conj(t["bl_A_cap"]).astype(cdtype)
 
     return jnp.concatenate(
@@ -1681,6 +1682,7 @@ class SHT:
         lambda_build: str = "host",
         fft_cmul: str = "xla",
         fft_precision: str | None = None,
+        conv_mode: str | None = None,
     ):
         self.nside = int(nside)
         self.lmax = int(lmax)
@@ -1709,6 +1711,19 @@ class SHT:
         # nside=256 × 64) while the accuracy cost is measured in
         # tools/fft_precision_probe.py
         self.fft_precision = precision if fft_precision is None else fft_precision
+        # Bluestein convolution form under fft_mode="mm": "fused" chains
+        # forward and inverse four-step DFTs through the digit-reversed
+        # [k1, k2] spectrum layout (fftmm.conv_apply — zero transposes,
+        # kernel multiply fused between matmuls); "twostep" is the
+        # original forward → multiply → inverse pipeline, kept for
+        # measurement and as the equality reference (tests/test_sht.py).
+        if conv_mode is None:
+            conv_mode = "fused" if fft_mode == "mm" else "twostep"
+        if conv_mode not in ("fused", "twostep"):
+            raise ValueError(f"unknown conv_mode {conv_mode!r}")
+        if conv_mode == "fused" and fft_mode != "mm":
+            raise ValueError("conv_mode='fused' requires fft_mode='mm'")
+        self.conv_mode = conv_mode
 
         info = pixel.ring_info(nside)
         nring = info["theta"].size
@@ -2221,9 +2236,21 @@ class SHT:
         from ..util import xfer
 
         put = xfer.put
+        fused = self.fft_mode == "mm" and self.conv_mode == "fused"
+
+        def put_kernel(key, K, n1n2):
+            # conv kernels ship in exactly the layout the active conv form
+            # consumes — permuted [k1, k2] spectrum order for "fused"
+            # (fftmm.permute_kernel), flat frequency order otherwise.
+            # Only one variant is stored (they are the same bytes
+            # re-ordered; storing both would double the kernel HBM).
+            if fused:
+                t[key + "P"] = put(fftmm.permute_kernel(K.astype(cdt), *n1n2))
+            else:
+                t[key] = put(K.astype(cdt))
+
         t = dict(
             chirp_A=put(self._chirp_A.astype(cdt)),
-            chirp_Bf=put(self._chirp_Bf.astype(cdt)),
             fold_phase=put(self._fold_phase.astype(cdt)),
             fold_idx=put(self._fold_idx),
             r_of_pix=put(self._r_of_pix),
@@ -2232,23 +2259,28 @@ class SHT:
             north_idx=put(self._north_idx),
             south_idx=put(self._south_idx),
         )
+        put_kernel("chirp_Bf", self._chirp_Bf, self._fft_n1n2)
         if self.fft_mode == "mm":
             for key, tab in [("fft", "fwd"), ("ifft", "inv")]:
                 for nm in ("W1", "T", "W2"):
                     t[key + nm] = put(self._fftmm_tabs[tab][nm].astype(cdt))
         t["bl_A"] = put(self._bl_A.astype(cdt))
         t["bl_C"] = put(self._bl_C.astype(cdt))
-        t["bl_Bf"] = put(self._bl_Bf.astype(cdt))
+        put_kernel("bl_Bf", self._bl_Bf, self._fft2_n1n2)
         if self.ring_mode == "split":
             t["eq_phase"] = put(self._eq_phase.astype(cdt))
             t["bl_A_cap"] = put(self._bl_A_cap.astype(cdt))
             t["bl_C_cap"] = put(self._bl_C_cap.astype(cdt))
-            t["bl_Bf_cap"] = put(self._bl_Bf_cap.astype(cdt))
+            put_kernel("bl_Bf_cap", self._bl_Bf_cap, self._fft2_n1n2)
             if self._cap_bands is not None:
                 for b, (A_b, C_b, Bf_b) in enumerate(self._cap_band_tabs):
+                    n_b = self._cap_bands[b][4]
                     t[f"bl_A_cb{b}"] = put(A_b.astype(cdt))
                     t[f"bl_C_cb{b}"] = put(C_b.astype(cdt))
-                    t[f"bl_Bf_cb{b}"] = put(Bf_b.astype(cdt))
+                    put_kernel(
+                        f"bl_Bf_cb{b}", Bf_b,
+                        self._cap_band_ffts[n_b]["n1n2"],
+                    )
                 for n_b, tabs_b in self._cap_band_ffts.items():
                     for key, tab in [("fftB", "fwd"), ("ifftB", "inv")]:
                         for nm in ("W1", "T", "W2"):

@@ -139,6 +139,76 @@ def _apply(x, tab, n1, n2, precision="highest", in_len=None, out_len=None,
     return out
 
 
+def permute_kernel(K, n1, n2):
+    """Re-layout a frequency-domain conv kernel for :func:`conv_apply`.
+
+    The four-step forward DFT leaves the spectrum in digit-reversed
+    order: the flat frequency index is k = k1 + n1·k2 while the natural
+    [k1, k2] matrix layout of the intermediate is row-major in k1.  The
+    fused convolution keeps the spectrum in that [k1, k2] layout (never
+    materialising the flat order), so the kernel table must be permuted
+    once, host-side, to match: K2[..., k1, k2] = K[..., k1 + n1·k2].
+    """
+    K = np.asarray(K)
+    return np.ascontiguousarray(
+        K.reshape(K.shape[:-1] + (n2, n1)).swapaxes(-1, -2)
+    )
+
+
+def conv_apply(x, ftab, itab, K2, n1, n2, precision="highest",
+               in_len=None, out_len=None, cmul="xla"):
+    """Fused circular convolution  IDFT(DFT(x) ∘ K) / n  over the last axis.
+
+    The two-step form (``_apply`` forward, kernel multiply, ``_apply``
+    inverse) pays two full HBM copy passes for the digit-reversal
+    transposes at the forward's exit and the inverse's entry.  Those
+    permutations are inverses of each other: with the inverse four-step
+    run on swapped factors (n1' = n2, n2' = n1), the forward's natural
+    [k1, k2] intermediate layout IS the inverse's natural input layout.
+    Writing out ω_n^{jk} with j = j1·n2 + j2 and k = k1 + n1·k2:
+
+        x[j1, j2] = (1/n) Σ_{k1} ω_{n1}^{j1 k1} ω_n^{j2 k1}
+                          Σ_{k2} Y[k1, k2] ω_{n2}^{j2 k2}
+
+    i.e. the inverse is (contract k2 with inv-W2) → (inv twiddle, same
+    [k1, j2] layout as the forward's) → (contract k1 with inv-W1), and
+    the [j1, j2] result reshapes row-major straight to the flat output.
+    Zero transposes end-to-end; the kernel multiply sits between two
+    matmuls where XLA fuses it.  Uses the standard fwd/inv tables from
+    :func:`dft_tables` unchanged; only K needs :func:`permute_kernel`.
+
+    ``in_len``/``out_len`` are the structural-sparsity hints of
+    ``_apply``: leading nonzero input samples (skips zero rows of the
+    [n1, n2] reshape) and required leading outputs (j = j1·n2 + j2, so
+    only j1 < ceil(out_len/n2) output rows are computed and the result
+    is zero-padded back).
+    """
+    n = n1 * n2
+    shape = x.shape
+    xr = x.reshape(shape[:-1] + (n1, n2))
+    W1 = ftab["W1"]
+    if in_len is not None and in_len < n:
+        n1v = -(-in_len // n2)
+        xr = xr[..., :n1v, :]
+        W1 = W1[:n1v, :]
+    A = _ceinsum("...nj,nk->...kj", xr, W1, precision, cmul)     # [k1, j2]
+    A = A * ftab["T"]
+    Y = _ceinsum("...kj,jl->...kl", A, ftab["W2"], precision, cmul)  # [k1, k2]
+    Y = Y * K2
+    B = _ceinsum("...kc,cj->...kj", Y, itab["W2"], precision, cmul)  # [k1, j2]
+    B = B * itab["T"]
+    W1i = itab["W1"]
+    n1o = n1
+    if out_len is not None and out_len < n:
+        n1o = -(-out_len // n2)
+        W1i = W1i[:, :n1o]
+    xo = _ceinsum("...kj,kl->...lj", B, W1i, precision, cmul)    # [j1, j2]
+    out = xo.reshape(shape[:-1] + (n1o * n2,))
+    if n1o != n1:
+        out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, (n1 - n1o) * n2)])
+    return out / n
+
+
 def fft_mm(x, tabs):
     """Forward DFT over the last axis using precomputed tables."""
     n1, n2 = tabs["n1n2"]

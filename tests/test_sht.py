@@ -707,3 +707,54 @@ def test_rings_to_grid_parity_matches_expand(nside, cap_bands):
     new = np.asarray(_rings_to_grid_parity(op, t, Ge, Go))
     assert new.shape == ref.shape
     assert np.abs(new - ref).max() < 2e-6 * np.abs(ref).max()
+
+
+@pytest.mark.parametrize("ring_mode,cap_bands", [("dense", 0), ("split", 3)])
+def test_fused_conv_matches_twostep(ring_mode, cap_bands):
+    """conv_mode="fused" (transpose-free four-step Bluestein convolution,
+    fftmm.conv_apply) == conv_mode="twostep" (forward → kernel multiply →
+    inverse) on every ring-transform path: real synthesis/analysis, the
+    dense ring grid, and the complex fold paths the spin engine reuses.
+
+    Replaces the ring FFT pair of healpy alm2map/map2alm
+    (/root/reference/cora/util/hputil.py:388,229) — the fused layout
+    eliminates the digit-reversal HBM passes between the paired DFTs.
+    """
+    from cora_tpu.healpix.sht import SHT, _rings_to_complex, _map_to_rings
+
+    nside, lmax = 16, 47
+    L = lmax + 1
+    rng = np.random.default_rng(7)
+    alm = rng.standard_normal((2, L, L)) + 1j * rng.standard_normal((2, L, L))
+    for l in range(L):
+        alm[:, l, l + 1:] = 0.0
+    alm[:, :, 0] = alm[:, :, 0].real
+    alm = jnp.asarray(alm)
+
+    ops = {
+        cm: SHT(nside, lmax, fft_mode="mm", ring_mode=ring_mode,
+                legendre_mode="scan", conv_mode=cm, cap_bands=cap_bands,
+                l_chunk=16)
+        for cm in ("twostep", "fused")
+    }
+    nring, npix = ops["fused"].nring, ops["fused"].npix
+    G = jnp.asarray(
+        rng.standard_normal((2, nring, L))
+        + 1j * rng.standard_normal((2, nring, L))
+    )
+    fmap = jnp.asarray(rng.standard_normal((2, npix)))
+
+    res = {}
+    for cm, op in ops.items():
+        t = op.tables(double=True)
+        m = op.synthesis(alm)
+        res[cm] = dict(
+            synth=np.asarray(m),
+            alm=np.asarray(op.analysis(m, 3)),
+            sgrid=np.asarray(op.synthesis_grid(alm)),
+            r2c=np.asarray(_rings_to_complex(op, t, G)),
+            m2r=np.asarray(_map_to_rings(op, t, fmap, jnp.complex128)),
+        )
+    for k, ref in res["twostep"].items():
+        d = np.abs(res["fused"][k] - ref).max()
+        assert d < 1e-12 * np.abs(ref).max(), (k, d)

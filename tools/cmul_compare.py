@@ -30,6 +30,11 @@ p.add_argument("--variants", default="xla,karatsuba,high",
 p.add_argument("--capbands", default=None,
                help="comma list of cap_bands values to sweep (with the "
                     "first variant's cmul settings)")
+p.add_argument("--convmodes", default=None,
+               help="comma list of conv_mode values to sweep "
+                    "({fused, twostep}; with the first variant's cmul "
+                    "settings — table layouts differ, so device tables "
+                    "are rebuilt per variant)")
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 
@@ -71,6 +76,12 @@ if args.capbands:
         (f"{variants[0][0]}/cb{cb}", dict(base, cap_bands=int(cb)))
         for cb in args.capbands.split(",")
     ]
+if args.convmodes:
+    base = variants[0][1]
+    variants = [
+        (f"{variants[0][0]}/{cm}", dict(base, conv_mode=cm))
+        for cm in args.convmodes.split(",")
+    ]
 
 out = {}
 t_shared = None
@@ -83,7 +94,7 @@ for name, kw in variants:
     # device tables are pure functions of (nside, lmax, l_chunk, banding)
     # — identical across cmul/precision variants; build once and share
     # (a second per-variant copy OOMs HBM at nside=512: multi-GB Λ)
-    if t_shared is None or args.capbands:
+    if t_shared is None or args.capbands or args.convmodes:
         t_shared = xfer.put_tree(op.tables(False))
     t = t_shared
 
@@ -113,7 +124,7 @@ for name, kw in variants:
     import gc
 
     del fn
-    if args.capbands:
+    if args.capbands or args.convmodes:
         t_shared = None
         del t
     jax.clear_caches()
