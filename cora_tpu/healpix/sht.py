@@ -1717,8 +1717,17 @@ class SHT:
         # kernel multiply fused between matmuls); "twostep" is the
         # original forward → multiply → inverse pipeline, kept for
         # measurement and as the equality reference (tests/test_sht.py).
+        # Size-gated default, like fft_cmul: the fused form wins 1.5% at
+        # the flagship's thin fchunk=4 ring batches but loses 6% at
+        # 256×64's wide batches (same-process head-to-heads,
+        # tools/convmode_{256,512b}.out) — XLA already fusion-collapses
+        # the digit-reversal copies, so the delta is layout-assignment
+        # noise, batch-width dependent.
         if conv_mode is None:
-            conv_mode = "fused" if fft_mode == "mm" else "twostep"
+            conv_mode = (
+                "fused" if fft_mode == "mm" and self.nside >= 512
+                else "twostep"
+            )
         if conv_mode not in ("fused", "twostep"):
             raise ValueError(f"unknown conv_mode {conv_mode!r}")
         if conv_mode == "fused" and fft_mode != "mm":

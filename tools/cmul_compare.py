@@ -125,8 +125,13 @@ for name, kw in variants:
 
     del fn
     if args.capbands or args.convmodes:
+        # the op instance caches its device tables (SHT._dev_tables) —
+        # multi-GB Λ at nside=512; drop them before the next variant's
+        # transfer or it OOMs HBM
         t_shared = None
         del t
+        op._dev_tables.clear()
+        del op
     jax.clear_caches()
     gc.collect()
 
