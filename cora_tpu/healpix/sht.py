@@ -239,8 +239,8 @@ def _legendre_contract_scan_streamed(op, t, alm_block_fn, batch_shape, dtype,
             H0, H1, lam_p, lam_pp, k, c = carry
             aa_c, bb_c = xs
             l0 = c * lc
-            (lam_p, lam_pp, k, _), lam_chunk = jax.lax.scan(
-                l_step, (lam_p, lam_pp, k, l0), (aa_c, bb_c)
+            (lam_p, lam_pp, k, _), lam_chunk = _lam_scan_rows(
+                l_step, (lam_p, lam_pp, k, l0), aa_c, bb_c
             )
             alm_blk = alm_block_fn(c, l0, lc, mw)[..., :mw]
             lam_c = lam_chunk.astype(alm_blk.real.dtype)
@@ -580,6 +580,42 @@ def _scaled_lam_step(lam_mm_s, k0, z, m_arr, out_mw=None):
     return l_step
 
 
+def _lam_scan_rows(l_step, carry, aa, bb):
+    """Scan ``l_step`` over the ℓ-rows of aa/bb [lc, L], several rows per
+    scan step.
+
+    The recurrence carry is 3 × [nh, L] (~75 MB f32 at nside=1024); a
+    one-row-per-step scan re-reads and re-writes all of it for every
+    emitted [nh, mw] λ row — a ~6× HBM-traffic amplification over the λ
+    rows themselves, which left the scan-mode Legendre stage carry-bound
+    at 39 GB/s effective (tools/scan_profile_1024.out: the λ stage was
+    2.0 s of the 2.44 s step).  Unrolling R rows inside one scan body
+    amortises the carry round trip over R emitted rows; the per-row
+    arithmetic sequence is identical, differing only in XLA's FMA
+    fusion choices — λ equal to the one-row scan at machine rounding
+    (measured 4e-13 rel in f64 synthesis, tests/test_sht.py).
+    """
+    lc = aa.shape[0]
+    R = next((r for r in (8, 4, 2) if lc % r == 0), 1)
+    if R == 1:
+        return jax.lax.scan(l_step, carry, (aa, bb))
+
+    def blk_step(c, ys):
+        ar, br = ys
+        outs = []
+        for i in range(R):
+            c, o = l_step(c, (ar[i], br[i]))
+            outs.append(o)
+        return c, jnp.stack(outs)
+
+    carry, lam = jax.lax.scan(
+        blk_step, carry,
+        (aa.reshape((lc // R, R) + aa.shape[1:]),
+         bb.reshape((lc // R, R) + bb.shape[1:])),
+    )
+    return carry, lam.reshape((lc,) + lam.shape[2:])
+
+
 def _ck_override(ck, lam_p, lam_pp, k):
     """Restart the recurrence carry from exact checkpoint rows.
 
@@ -677,8 +713,8 @@ def _build_lambda_device(op, fdt=np.float32):
             if nr < lc:  # padded rows have zero rec coeffs → zero λ
                 aa = jnp.pad(aa, [(0, lc - nr), (0, 0)])
                 bb = jnp.pad(bb, [(0, lc - nr), (0, 0)])
-            (lam_p, lam_pp, k, _), lam_chunk = jax.lax.scan(
-                l_step, (lam_p, lam_pp, k, jnp.asarray(l0)), (aa, bb)
+            (lam_p, lam_pp, k, _), lam_chunk = _lam_scan_rows(
+                l_step, (lam_p, lam_pp, k, jnp.asarray(l0)), aa, bb
             )
             # consecutive-ℓ rows alternate parity (l0 = c·lc even, lc even):
             # rows p::2 have ℓ-parity p
@@ -766,8 +802,8 @@ def _legendre_contract_scan(op, t, alm):
         Ge, Go, lam_p, lam_pp, k, l0 = carry
         alm_e, alm_o, aa, bb = xs
 
-        (lam_p, lam_pp, k, lN), lam_chunk = jax.lax.scan(
-            l_step, (lam_p, lam_pp, k, l0), (aa, bb)
+        (lam_p, lam_pp, k, lN), lam_chunk = _lam_scan_rows(
+            l_step, (lam_p, lam_pp, k, l0), aa, bb
         )
         lam_c = lam_chunk.astype(alm_e.real.dtype)
         Ge = Ge + jnp.einsum("lrm,l...m->...rm", lam_c, alm_e)
@@ -853,8 +889,8 @@ def _legendre_project_scan(op, t, G):
         lam_p, lam_pp, k, l0 = carry
         aa, bb = xs
 
-        (lam_p, lam_pp, k, lN), lam_chunk = jax.lax.scan(
-            l_step, (lam_p, lam_pp, k, l0), (aa, bb)
+        (lam_p, lam_pp, k, lN), lam_chunk = _lam_scan_rows(
+            l_step, (lam_p, lam_pp, k, l0), aa, bb
         )
         lidx = jnp.arange(lc)[:, None, None]
         par = (l0 + lidx + m_arr[None, None, :]) % 2 == 0  # [lc, 1, M]

@@ -758,3 +758,40 @@ def test_fused_conv_matches_twostep(ring_mode, cap_bands):
     for k, ref in res["twostep"].items():
         d = np.abs(res["fused"][k] - ref).max()
         assert d < 1e-12 * np.abs(ref).max(), (k, d)
+
+
+def test_unrolled_lam_scan_matches_single_row():
+    """_lam_scan_rows (R ℓ-rows per scan step — the carry-traffic fix for
+    the scan-mode Legendre stage, tools/scan_profile_1024.out) == the
+    one-row-per-step scan at machine rounding (XLA FMA-fusion choices
+    differ; the arithmetic sequence is identical)."""
+    import jax
+
+    from cora_tpu.healpix import sht as S
+
+    nside, lmax = 16, 47
+    L = lmax + 1
+    rng = np.random.default_rng(5)
+    alm = rng.standard_normal((2, L, L)) + 1j * rng.standard_normal((2, L, L))
+    for l in range(L):
+        alm[:, l, l + 1:] = 0.0
+    alm[:, :, 0] = alm[:, :, 0].real
+    alm = jnp.asarray(alm)
+
+    op = S.SHT(nside, lmax, fft_mode="mm", legendre_mode="scan",
+               l_chunk=16, scan_ckpt=False)
+    op.tables(double=True)
+    m_unroll = np.asarray(op.synthesis(alm))
+
+    orig = S._lam_scan_rows
+    S._lam_scan_rows = (
+        lambda l_step, carry, aa, bb: jax.lax.scan(l_step, carry, (aa, bb))
+    )
+    try:
+        jax.clear_caches()
+        m_ref = np.asarray(op.synthesis(alm))
+    finally:
+        S._lam_scan_rows = orig
+        jax.clear_caches()
+
+    assert np.abs(m_unroll - m_ref).max() < 1e-11 * np.abs(m_ref).max()
