@@ -1486,12 +1486,7 @@ def _rings_to_grid_complex(op, t, G):
             [Scap[..., :lo, :], Seq, Scap[..., lo:, :]], axis=-2
         )
 
-    a = G * t["bl_A"].astype(cdtype)
-    pad = op.nfft2 - a.shape[-1]
-    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
-    conv = _fft2_last(
-        op, t, _fft2_last(op, t, a) * t["bl_Bf"].astype(cdtype), inverse=True
-    )
+    conv = _conv(op, t, G * t["bl_A"].astype(cdtype), "2", "bl_Bf", nq_max)
     return conv[..., :nq_max] * t["bl_C"].astype(cdtype)
 
 

@@ -720,7 +720,9 @@ def test_fused_conv_matches_twostep(ring_mode, cap_bands):
     (/root/reference/cora/util/hputil.py:388,229) — the fused layout
     eliminates the digit-reversal HBM passes between the paired DFTs.
     """
-    from cora_tpu.healpix.sht import SHT, _rings_to_complex, _map_to_rings
+    from cora_tpu.healpix.sht import (
+        SHT, _rings_to_complex, _map_to_rings, _rings_to_grid_complex,
+    )
 
     nside, lmax = 16, 47
     L = lmax + 1
@@ -753,6 +755,7 @@ def test_fused_conv_matches_twostep(ring_mode, cap_bands):
             alm=np.asarray(op.analysis(m, 3)),
             sgrid=np.asarray(op.synthesis_grid(alm)),
             r2c=np.asarray(_rings_to_complex(op, t, G)),
+            r2gc=np.asarray(_rings_to_grid_complex(op, t, G)),
             m2r=np.asarray(_map_to_rings(op, t, fmap, jnp.complex128)),
         )
     for k, ref in res["twostep"].items():

@@ -77,9 +77,12 @@ if args.capbands:
         for cb in args.capbands.split(",")
     ]
 if args.convmodes:
-    base = variants[0][1]
+    # cross product with whatever came before (base variant or the
+    # --capbands sweep), so combined sweeps are honoured rather than
+    # silently collapsed to variants[0]
     variants = [
-        (f"{variants[0][0]}/{cm}", dict(base, conv_mode=cm))
+        (f"{name}/{cm}", dict(base, conv_mode=cm))
+        for name, base in variants
         for cm in args.convmodes.split(",")
     ]
 
