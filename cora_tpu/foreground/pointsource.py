@@ -99,31 +99,34 @@ class PointSourceModel(maps.Map3d):
     def generate_population(self, area, rng=None):
         """Draw the source fluxes within `area` steradians.
 
-        Inhomogeneous Poisson process in log-flux (reference
-        pointsource.py:131-173), with the automatic high-flux cut at
-        P(>S_max) ≈ 0.05 when flux_max is unset.
+        The counts model dN/dS defines an inhomogeneous Poisson process on
+        flux; we sample it in u = ln(S/S_min), where the intensity picks
+        up the Jacobian S and the bright power-law tail flattens enough
+        for the inverse-CDF sampler's linear grid (same process as
+        reference pointsource.py:131-173, via P(u) du = P(S) dS).  When no
+        explicit upper limit is set, cap where the expected number of
+        brighter sources falls to 0.05 — i.e. a ~5% chance of even one
+        source above the cut.
         """
-        from scipy.optimize import newton
-
         rng = rng if rng is not None else self._rng()
+        smin = self.flux_min
 
-        flux_max = self.flux_max
-        if flux_max is None:
-            ratelog = lambda s: s * area * self.source_count(s) - 5e-2
-            flux_max = newton(ratelog, self.flux_min)
+        def expected_above(s):
+            # local power-law estimate: N(>S) ≈ S·(dN/dS)/(β−1) ~ S·dN/dS
+            return area * s * self.source_count(s)
 
-        rate = (
-            lambda s: self.flux_min
-            * np.exp(s)
-            * area
-            * self.source_count(self.flux_min * np.exp(s))
+        smax = self.flux_max
+        if smax is None:
+            from scipy.optimize import newton
+
+            smax = newton(lambda s: expected_above(s) - 0.05, smin)
+
+        u = ps.inhomogeneous_process_approx(
+            np.log(smax / smin),
+            lambda u: expected_above(smin * np.exp(u)),
+            rng=rng,
         )
-        fluxes = self.flux_min * np.exp(
-            ps.inhomogeneous_process_approx(
-                np.log(flux_max / self.flux_min), rate, rng=rng
-            )
-        )
-        return fluxes
+        return smin * np.exp(u)
 
     def getfield(self, catalogue=False):
         """Flat-sky cube of point sources [freq, x, y]."""

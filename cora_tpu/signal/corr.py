@@ -138,12 +138,7 @@ class RedshiftCorrelation:
     _vv_only = True
 
     _cached = False
-    _vv0i = None
-    _vv2i = None
-    _vv4i = None
-    _dd0i = None
-    _dv0i = None
-    _dv2i = None
+    _xi_tables = None  # {(species, ell): CubicSpline over r}
 
     cosmology = Cosmology()
 
@@ -185,59 +180,56 @@ class RedshiftCorrelation:
         rc._load_cache(fname)
         return rc
 
+    # table columns, in the reference text-file column order after r
+    _XI_COLUMNS = (("vv", 0), ("vv", 2), ("vv", 4), ("dd", 0), ("dv", 0), ("dv", 2))
+
+    def _set_xi_tables(self, ra, cols):
+        """Install the radial-moment splines from {(species, ell): values}."""
+        need = self._XI_COLUMNS[:3] if self._vv_only else self._XI_COLUMNS
+        missing = [k for k in need if k not in cols]
+        if missing:
+            raise ValueError(f"Correlation table lacks moments {missing}.")
+        self._xi_tables = {
+            k: cs.CubicSpline(ra, cols[k]) for k in need
+        }
+        self._cached = True
+
     def _load_cache(self, fname):
         """Load a correlation-integral table (.npz with r/vv0/vv2/vv4[...])
         or a reference-format text table (r, vv0, vv2, vv4[, dd0, dv0, dv2])."""
+        names = [f"{sp}{ell}" for sp, ell in self._XI_COLUMNS]
         if str(fname).endswith(".npz"):
             a = np.load(fname)
             ra = a["r"]
-            vv0, vv2, vv4 = a["vv0"], a["vv2"], a["vv4"]
-            dd0 = a["dd0"] if "dd0" in a else None
-            dv0 = a["dv0"] if "dv0" in a else None
-            dv2 = a["dv2"] if "dv2" in a else None
+            cols = {
+                k: a[n] for k, n in zip(self._XI_COLUMNS, names) if n in a
+            }
         else:
             a = np.loadtxt(fname)
-            ra, vv0, vv2, vv4 = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
-            dd0 = a[:, 4] if a.shape[1] >= 7 else None
-            dv0 = a[:, 5] if a.shape[1] >= 7 else None
-            dv2 = a[:, 6] if a.shape[1] >= 7 else None
-
-        self._vv0i = cs.CubicSpline(ra, vv0)
-        self._vv2i = cs.CubicSpline(ra, vv2)
-        self._vv4i = cs.CubicSpline(ra, vv4)
-        if not self._vv_only:
-            if dd0 is None:
-                raise ValueError("Cache file has wrong number of columns.")
-            self._dd0i = cs.CubicSpline(ra, dd0)
-            self._dv0i = cs.CubicSpline(ra, dv0)
-            self._dv2i = cs.CubicSpline(ra, dv2)
-        self._cached = True
+            ra = a[:, 0]
+            cols = {
+                k: a[:, 1 + i]
+                for i, k in enumerate(self._XI_COLUMNS)
+                if a.shape[1] > 1 + i
+            }
+        self._set_xi_tables(ra, cols)
 
     def gen_cache(self, fname=None, rmin=1e-3, rmax=1e4, rnum=1000):
         """Generate (and optionally save) the correlation-integral table."""
         ra = np.logspace(np.log10(rmin), np.log10(rmax), rnum)
 
-        vv0 = xi_integrate(ra, 0, self.ps_vv)
-        vv2 = xi_integrate(ra, 2, self.ps_vv)
-        vv4 = xi_integrate(ra, 4, self.ps_vv)
-        cols = dict(r=ra, vv0=vv0, vv2=vv2, vv4=vv4)
-
-        if not self._vv_only:
-            cols["dd0"] = xi_integrate(ra, 0, self.ps_dd)
-            cols["dv0"] = xi_integrate(ra, 0, self.ps_dv)
-            cols["dv2"] = xi_integrate(ra, 2, self.ps_dv)
+        specs = {"vv": self.ps_vv, "dd": self.ps_dd, "dv": self.ps_dv}
+        need = self._XI_COLUMNS[:3] if self._vv_only else self._XI_COLUMNS
+        cols = {
+            (sp, ell): xi_integrate(ra, ell, specs[sp]) for sp, ell in need
+        }
 
         if fname:
-            np.savez(fname, **cols)
+            np.savez(
+                fname, r=ra, **{f"{sp}{ell}": v for (sp, ell), v in cols.items()}
+            )
 
-        self._vv0i = cs.CubicSpline(ra, vv0)
-        self._vv2i = cs.CubicSpline(ra, vv2)
-        self._vv4i = cs.CubicSpline(ra, vv4)
-        if not self._vv_only:
-            self._dd0i = cs.CubicSpline(ra, cols["dd0"])
-            self._dv0i = cs.CubicSpline(ra, cols["dv0"])
-            self._dv2i = cs.CubicSpline(ra, cols["dv2"])
-        self._cached = True
+        self._set_xi_tables(ra, cols)
 
     # ------------------------------------------------------------------
     # Redshift scalings — override in subclasses
@@ -278,108 +270,118 @@ class RedshiftCorrelation:
     # Power spectra / correlation functions
     # ------------------------------------------------------------------
 
+    def _evolution(self, z):
+        """Evolution weight of one leg of a two-point function: linear
+        growth relative to the epoch the spectra are tabulated at, times
+        the model's per-redshift prefactor."""
+        return (
+            self.growth_factor(z)
+            / self.growth_factor(self.ps_redshift)
+            * self.prefactor(z)
+        )
+
+    def _kaiser_weights(self, z1, z2):
+        """Weights of the three density/velocity moments in the Kaiser
+        expansion.
+
+        Linear redshift-space distortions attach ``(b + f·mu²)`` to each
+        leg, so every two-point quantity is a quadratic form in mu²
+        contracted against (P_dd, P_dv, P_vv); this returns its mu⁰, mu²
+        and mu⁴ coefficients ``(b1·b2, b1·f2 + b2·f1, f1·f2)``.
+        """
+        b1, b2 = self.bias_z(z1), self.bias_z(z2)
+        f1, f2 = self.growth_rate(z1), self.growth_rate(z2)
+        return b1 * b2, b1 * f2 + b2 * f1, f1 * f2
+
     def powerspectrum(self, kpar, kperp, z1=None, z2=None):
-        """Redshift-space power spectrum (Kaiser) at (kpar, kperp)."""
+        """Redshift-space (Kaiser) power spectrum at (kpar, kperp).
+
+        ``E1·E2·(w_dd·P_dd + mu²·w_dv·P_dv + mu⁴·w_vv·P_vv)`` with the
+        moment weights of :meth:`_kaiser_weights`; a single-spectrum model
+        shares one P(k) across the moments (the product form
+        ``(b1 + f1·mu²)(b2 + f2·mu²)·P`` expanded).  Parity of reference
+        corr.py:152-201 with its ``z == None`` array bug fixed.
+        """
         if z1 is None:
             z1 = self.ps_redshift
         if z2 is None:
             z2 = self.ps_redshift
 
-        b1, b2 = self.bias_z(z1), self.bias_z(z2)
-        f1, f2 = self.growth_rate(z1), self.growth_rate(z2)
-        D1 = self.growth_factor(z1) / self.growth_factor(self.ps_redshift)
-        D2 = self.growth_factor(z2) / self.growth_factor(self.ps_redshift)
-        pf1, pf2 = self.prefactor(z1), self.prefactor(z2)
-
         k2 = kpar**2 + kperp**2
-        k = k2**0.5
-        mu = kpar / k
+        k = np.sqrt(k2)
         mu2 = kpar**2 / k2
 
         if self._vv_only:
-            if self.ps_2d:
-                ps = self.ps_vv(k, mu) * (b1 + mu2 * f1) * (b2 + mu2 * f2)
-            else:
-                ps = self.ps_vv(k) * (b1 + mu2 * f1) * (b2 + mu2 * f2)
-        else:
-            ps = (
-                b1 * b2 * self.ps_dd(k)
-                + mu2 * self.ps_dv(k) * (f1 * b2 + f2 * b1)
-                + mu2**2 * f1 * f2 * self.ps_vv(k)
+            pdd = pdv = pvv = (
+                self.ps_vv(k, kpar / k) if self.ps_2d else self.ps_vv(k)
             )
+        else:
+            pdd, pdv, pvv = self.ps_dd(k), self.ps_dv(k), self.ps_vv(k)
 
-        return D1 * D2 * pf1 * pf2 * ps
+        wdd, wdv, wvv = self._kaiser_weights(z1, z2)
+        ps = wdd * pdd + mu2 * wdv * pdv + mu2**2 * wvv * pvv
+        return ps * (self._evolution(z1) * self._evolution(z2))
 
     def powerspectrum_1D(self, k_vec, z1, z2, numz):
-        """Real-space power spectrum averaged over the band [z1, z2]."""
-        c1 = self.cosmology.comoving_distance(z1)
-        c2 = self.cosmology.comoving_distance(z2)
-        comoving_inv = inverse_approx(self.cosmology.comoving_distance, z1, z2)
-        da = np.linspace(c1, c2, numz + 1, endpoint=True)
-        za = np.asarray(comoving_inv(da))
+        """Real-space power spectrum averaged over the band [z1, z2]:
+        P(k) scaled by the squared mean evolution-weighted bias over
+        numz+1 slices uniform in comoving distance."""
+        chi = np.linspace(
+            self.cosmology.comoving_distance(z1),
+            self.cosmology.comoving_distance(z2),
+            numz + 1,
+        )
+        za = np.asarray(
+            inverse_approx(self.cosmology.comoving_distance, z1, z2)(chi)
+        )
+        weight = np.mean(self._evolution(za) * self.bias_z(za))
+        return self.ps_vv(k_vec) * weight**2
 
-        bz = self.bias_z(za)
-        Dz = self.growth_factor(za) / self.growth_factor(self.ps_redshift)
-        pz = self.prefactor(za)
+    # Flat-sky Kaiser multipoles (Hamilton 1992): the P_l(mu) expansion of
+    # xi_s couples each radial moment xi^{species}_l to one moment-weight
+    # channel; entries are (l, ((species, l', coefficient), ...)) with the
+    # coefficients expressed against the _kaiser_weights normalisation.
+    _XI_MULTIPOLES = (
+        (0, (("dd", 0, 1.0), ("dv", 0, 1.0 / 3.0), ("vv", 0, 1.0 / 5.0))),
+        (2, (("dv", 2, -2.0 / 3.0), ("vv", 2, -4.0 / 7.0))),
+        (4, (("vv", 4, 8.0 / 35.0),)),
+    )
 
-        dfactor = np.mean(Dz * pz * bz)
-        return self.ps_vv(k_vec) * dfactor * dfactor
+    def _xi_moment(self, r, species, ell):
+        """Radial moment xi^{species}_l(r): cached spline if the table has
+        been generated/loaded, else direct Bessel-weighted quadrature.
+        The single-spectrum model shares the vv moments across species."""
+        if self._vv_only:
+            species = "vv"
+        if self._cached:
+            return np.asarray(self._xi_tables[species, ell](r))
+        ps = {"vv": self.ps_vv, "dd": self.ps_dd, "dv": self.ps_dv}[species]
+        return xi_integrate(r, ell, ps)
 
     def redshiftspace_correlation(self, pi, sigma, z1=None, z2=None):
-        """Flat-sky redshift-space correlation function xi(pi, sigma)."""
-        r = (pi**2 + sigma**2) ** 0.5
-        mu = pi / (r + 1e-100)
+        """Flat-sky redshift-space correlation function xi(pi, sigma).
 
-        if z1 is None and z2 is None:
+        The Kaiser-limit multipole expansion (_XI_MULTIPOLES) evaluated at
+        r = (pi² + sigma²)^½, mu = pi/r; matches reference corr.py:242-348
+        through the shared moment table rather than per-moment in-place
+        scaling."""
+        if z1 is None:
             z1 = self.ps_redshift
-            z2 = self.ps_redshift
-        elif z2 is None:
+        if z2 is None:
             z2 = z1
 
-        if self._cached:
-            xvv_0 = np.asarray(self._vv0i(r))
-            xvv_2 = np.asarray(self._vv2i(r))
-            xvv_4 = np.asarray(self._vv4i(r))
-            if self._vv_only:
-                xdd_0, xdv_0, xdv_2 = xvv_0.copy(), xvv_0.copy(), xvv_2.copy()
-            else:
-                xdd_0 = np.asarray(self._dd0i(r))
-                xdv_0 = np.asarray(self._dv0i(r))
-                xdv_2 = np.asarray(self._dv2i(r))
-        else:
-            xvv_0 = xi_integrate(r, 0, self.ps_vv)
-            xvv_2 = xi_integrate(r, 2, self.ps_vv)
-            xvv_4 = xi_integrate(r, 4, self.ps_vv)
-            if self._vv_only:
-                xdd_0, xdv_0, xdv_2 = xvv_0.copy(), xvv_0.copy(), xvv_2.copy()
-            else:
-                xdd_0 = xi_integrate(r, 0, self.ps_dd)
-                xdv_0 = xi_integrate(r, 0, self.ps_dv)
-                xdv_2 = xi_integrate(r, 2, self.ps_dv)
+        r = np.hypot(pi, sigma)
+        mu = pi / (r + 1e-100)  # keeps pi = sigma = 0 finite
 
-        b1, b2 = self.bias_z(z1), self.bias_z(z2)
-        f1, f2 = self.growth_rate(z1), self.growth_rate(z2)
-
-        xdd_0 = xdd_0 * (b1 * b2)
-        xdv = 0.5 * (b1 * f2 + b2 * f1)
-        xdv_0 = xdv_0 * xdv
-        xdv_2 = xdv_2 * xdv
-        xvv_0 = xvv_0 * (f1 * f2)
-        xvv_2 = xvv_2 * (f1 * f2)
-        xvv_4 = xvv_4 * (f1 * f2)
-
-        D1 = self.growth_factor(z1) / self.growth_factor(self.ps_redshift)
-        D2 = self.growth_factor(z2) / self.growth_factor(self.ps_redshift)
-        pf1, pf2 = self.prefactor(z1), self.prefactor(z2)
-
-        pl2 = _legendre_pl(2, mu)
-        pl4 = _legendre_pl(4, mu)
-
-        return (
-            (xdd_0 + 2.0 / 3.0 * xdv_0 + 1.0 / 5.0 * xvv_0)
-            - (4.0 / 3.0 * xdv_2 + 4.0 / 7.0 * xvv_2) * pl2
-            + 8.0 / 35.0 * xvv_4 * pl4
-        ) * (D1 * D2 * pf1 * pf2)
+        w = dict(zip(("dd", "dv", "vv"), self._kaiser_weights(z1, z2)))
+        xi = 0.0
+        for ell, terms in self._XI_MULTIPOLES:
+            pl = _legendre_pl(ell, mu) if ell else 1.0
+            for species, mell, coeff in terms:
+                xi = xi + (coeff * w[species] * pl) * self._xi_moment(
+                    r, species, mell
+                )
+        return xi * (self._evolution(z1) * self._evolution(z2))
 
     def angular_correlation(self, theta, z1, z2):
         """Angular correlation function in the flat-sky approximation."""
@@ -535,12 +537,26 @@ class RedshiftCorrelation:
         self._aps_vv = a["vv"]
         self._aps_cache = True
 
+    def _table_coords(self, kperp, dchi):
+        """Fractional (row, col) indices of a physical point in the DCT
+        tables: rows are log-spaced in k_perp over [_kperpmin, _kperpmax];
+        the DCT-I column index conjugate to k_par is Δchi·k_parmax/pi
+        (cosine frequency spacing pi/k_parmax)."""
+        row = (self._nkperp - 1) * (
+            np.log(kperp / self._kperpmin)
+            / np.log(self._kperpmax / self._kperpmin)
+        )
+        col = dchi * (self._kparmax / np.pi)
+        return row, col
+
     def angular_powerspectrum_fft(self, la, za1, za2):
         """Flat-sky angular power spectrum C_l(z1, z2) via table lookup.
 
-        Matches the reference algorithm (corr.py:891-982): log-kperp index
-        from l / chi_mean, kpar index from the radial separation, bilinear
-        lookup into the three DCT tables, Kaiser combination.
+        Limber-style flat-sky reduction (reference corr.py:891-982): the
+        radial k_par integral against cos(k_par·Δchi) is the precomputed
+        DCT-I table, evaluated at k_perp = l/chi_mean by bilinear lookup
+        and contracted with the Kaiser moment weights; overall factor
+        E1·E2/(pi·chi_mean²).
         """
         if not self._aps_cache:
             self._build_fft_cache()
@@ -549,33 +565,22 @@ class RedshiftCorrelation:
         za1 = np.asarray(za1, dtype=np.float64)
         za2 = np.asarray(za2, dtype=np.float64)
 
-        xa1 = self.cosmology.comoving_distance(za1)
-        xa2 = self.cosmology.comoving_distance(za2)
+        chi1 = self.cosmology.comoving_distance(za1)
+        chi2 = self.cosmology.comoving_distance(za2)
+        chi_mean = 0.5 * (chi1 + chi2)
 
-        b1, b2 = self.bias_z(za1), self.bias_z(za2)
-        f1, f2 = self.growth_rate(za1), self.growth_rate(za2)
-        pf1, pf2 = self.prefactor(za1), self.prefactor(za2)
-        D1 = self.growth_factor(za1) / self.growth_factor(self.ps_redshift)
-        D2 = self.growth_factor(za2) / self.growth_factor(self.ps_redshift)
-
-        xc = 0.5 * (xa1 + xa2)
-        rpar = np.abs(xa2 - xa1)
-
-        la = np.where(la == 0.0, 1e-10, la)
-
-        x = (
-            (np.log10(la) - np.log10(xc * self._kperpmin))
-            / np.log10(self._kperpmax / self._kperpmin)
-            * (self._nkperp - 1)
+        # l = 0 would hit log(0); nudge it onto the table's low edge
+        row, col = self._table_coords(
+            np.where(la == 0.0, 1e-10, la) / chi_mean, np.abs(chi2 - chi1)
         )
-        y = rpar / (math.pi / self._kparmax)
 
-        psdd = bilinear.interp2d_np(self._aps_dd, x, y)
-        psdv = bilinear.interp2d_np(self._aps_dv, x, y)
-        psvv = bilinear.interp2d_np(self._aps_vv, x, y)
-
-        return (D1 * D2 * pf1 * pf2 / (xc**2 * np.pi)) * (
-            (b1 * b2) * psdd + (f1 * b2 + f2 * b1) * psdv + (f1 * f2) * psvv
+        moments = (
+            bilinear.interp2d_np(tab, row, col)
+            for tab in (self._aps_dd, self._aps_dv, self._aps_vv)
+        )
+        cl = sum(w * m for w, m in zip(self._kaiser_weights(za1, za2), moments))
+        return cl * (
+            self._evolution(za1) * self._evolution(za2) / (np.pi * chi_mean**2)
         )
 
     def angular_powerspectrum_exact(self, la, za1, za2, resolution=1.0):
