@@ -16,6 +16,8 @@ import json
 import sys
 import time
 
+_T0 = time.time()  # process-start anchor for the cold-to-first-map wall
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -245,50 +247,6 @@ def main():
     print(f"# SHT tables built+dispatched: {setup['sht_dispatch_s']}s",
           file=sys.stderr)
 
-    # Drain the queued device work NOW, one stage at a time, each pinned
-    # by a tiny D2H probe fetch.  block_until_ready does NOT synchronize
-    # on the axon runtime (tools/device_setup_attrib*.py: 3.2 GB of
-    # tables report "ready" in 0.0 s and the whole queue then lands on
-    # the first step — BENCH_r03's 311 s "warmup"), and serialized stage
-    # execution is also measurably faster end-to-end than letting the
-    # queue drain under the first step (~295 s vs 443-683 s total in the
-    # round-4 attribution runs).
-    t0 = time.time()
-    _flush.block_until_ready()
-    _ = float(jnp.abs(_flush).sum())
-    setup["backend_init_s"] = round(time.time() - t0, 1)
-    setup["backend_init_total_s"] = round(time.time() - t_flush0, 1)
-    print(f"# backend session init: {setup['backend_init_s']}s un-hidden "
-          f"({setup['backend_init_total_s']}s total since dispatch)",
-          file=sys.stderr)
-
-    t0 = time.time()
-    _ = float(jnp.sum(jnp.abs(
-        roots_d[:: max(1, roots_d.shape[0] // 8), 0, 0]
-    )))
-    dt = time.time() - t0
-    setup["roots_s"] = round(
-        setup.get("roots_dispatch_s", setup.get("roots_s", 0.0)) + dt, 1
-    )
-    print(f"# covariance roots executed (+{dt:.1f}s)", file=sys.stderr)
-
-    t0 = time.time()
-    _leaves = jax.tree_util.tree_leaves(sht_tables)
-
-    @jax.jit
-    def _probe_leaves(ls):
-        return sum(
-            jnp.sum(jnp.abs(l.ravel()[:: max(1, l.size // 64)])).astype(
-                jnp.float32
-            )
-            for l in ls
-        )
-
-    _ = float(_probe_leaves(_leaves))
-    dt = time.time() - t0
-    setup["sht_s"] = round(setup["sht_dispatch_s"] + dt, 1)
-    print(f"# SHT tables resident (+{dt:.1f}s)", file=sys.stderr)
-
     fchunk = min(args.fchunk, nfreq)
     # default Legendre-stage width: all frequencies when the working set
     # fits HBM (nside <= 256), else 2×fchunk (fleg=64 fits at 512 on 16 GB
@@ -384,6 +342,62 @@ def main():
         except Exception as e:  # version skew etc. — recompile
             print(f"# AOT executable load failed: {e}", file=sys.stderr)
             compiled = None
+
+    # Drain the queued device work NOW, one stage at a time, each pinned
+    # by a tiny D2H probe fetch.  block_until_ready does NOT synchronize
+    # on the axon runtime (tools/device_setup_attrib*.py: 3.2 GB of
+    # tables report "ready" in 0.0 s and the whole queue then lands on
+    # the first step — BENCH_r03's 311 s "warmup"), and serialized stage
+    # execution is also measurably faster end-to-end than letting the
+    # queue drain under the first step (~295 s vs 443-683 s total in the
+    # round-4 attribution runs).
+    #
+    # backend_init_s is ENVIRONMENTAL: the first executed program pays a
+    # one-time server session flush whose duration is set by the service's
+    # state, not by this process — measured 52-119 s on a warm service
+    # (tools/flush_overlap.out, coldstart_r4b_warm.out), 306-880 s on a
+    # cold one (coldstart_r4b.out; BENCH_r04's 802.6 s un-hidden was an
+    # ~880 s cold-service flush of which the ~80 s of host setup above hid
+    # only a tenth — the "0.0 s un-hidden" overlap result holds only when
+    # host setup >= flush, i.e. on a warm service).  Everything the
+    # process controls (table builds, exe deserialize, dispatches) is
+    # already overlapped ahead of this point.
+    t0 = time.time()
+    _flush.block_until_ready()
+    _ = float(jnp.abs(_flush).sum())
+    setup["backend_init_s"] = round(time.time() - t0, 1)
+    setup["backend_init_total_s"] = round(time.time() - t_flush0, 1)
+    print(f"# backend session init: {setup['backend_init_s']}s un-hidden "
+          f"({setup['backend_init_total_s']}s total since dispatch)",
+          file=sys.stderr)
+
+    t0 = time.time()
+    _ = float(jnp.sum(jnp.abs(
+        roots_d[:: max(1, roots_d.shape[0] // 8), 0, 0]
+    )))
+    dt = time.time() - t0
+    setup["roots_s"] = round(
+        setup.get("roots_dispatch_s", setup.get("roots_s", 0.0)) + dt, 1
+    )
+    print(f"# covariance roots executed (+{dt:.1f}s)", file=sys.stderr)
+
+    t0 = time.time()
+    _leaves = jax.tree_util.tree_leaves(sht_tables)
+
+    @jax.jit
+    def _probe_leaves(ls):
+        return sum(
+            jnp.sum(jnp.abs(l.ravel()[:: max(1, l.size // 64)])).astype(
+                jnp.float32
+            )
+            for l in ls
+        )
+
+    _ = float(_probe_leaves(_leaves))
+    dt = time.time() - t0
+    setup["sht_s"] = round(setup["sht_dispatch_s"] + dt, 1)
+    print(f"# SHT tables resident (+{dt:.1f}s)", file=sys.stderr)
+
     if compiled is None:
         compiled = _compile_and_save()
 
@@ -405,6 +419,17 @@ def main():
     setup["warmup_s"] = round(time.time() - t0, 1)
     print(f"# warmup (first step): {setup['warmup_s']}s sum={s:.3e}",
           file=sys.stderr)
+
+    # headline setup metric: wall from process start to the first
+    # completed map cube.  cold_wall_s = the part this process controls
+    # (everything except the environmental backend session flush).
+    setup["total_s"] = round(time.time() - _T0, 1)
+    setup["cold_wall_s"] = round(
+        setup["total_s"] - setup.get("backend_init_s", 0.0), 1
+    )
+    print(f"# cold-to-first-map: {setup['total_s']}s total "
+          f"({setup['cold_wall_s']}s excluding the backend session "
+          f"flush)", file=sys.stderr)
 
     times = []
     for i in range(args.repeats):

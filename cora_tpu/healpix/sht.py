@@ -235,8 +235,16 @@ def _legendre_contract_scan_streamed(op, t, alm_block_fn, batch_shape, dtype,
         aa = aa.reshape(nc, lc, L)
         bb = bb.reshape(nc, lc, L)
 
+        # band-local accumulators at the band's m-width: carrying the
+        # full-width H through the chunk scan makes every scan step pay a
+        # [.., L]-wide carry round trip for a [.., mw]-wide update (early
+        # bands waste ~6× at nside=1024); the band result lands in the
+        # full accumulators once per band instead of once per chunk
+        H0b = jnp.zeros(batch_shape + (nh, mw), dtype=dtype)
+        H1b = jnp.zeros_like(H0b)
+
         def band_step(carry, xs):
-            H0, H1, lam_p, lam_pp, k, c = carry
+            H0b, H1b, lam_p, lam_pp, k, c = carry
             aa_c, bb_c = xs
             l0 = c * lc
             (lam_p, lam_pp, k, _), lam_chunk = _lam_scan_rows(
@@ -247,17 +255,17 @@ def _legendre_contract_scan_streamed(op, t, alm_block_fn, batch_shape, dtype,
             # consecutive-ℓ rows alternate parity (l0 even: lc is even)
             X0 = jnp.einsum("lrm,...lm->...rm", lam_c[0::2],
                             alm_blk[..., 0::2, :], precision=op.precision)
-            H0 = H0.at[..., :mw].add(X0)
             X1 = jnp.einsum("lrm,...lm->...rm", lam_c[1::2],
                             alm_blk[..., 1::2, :], precision=op.precision)
-            H1 = H1.at[..., :mw].add(X1)
-            return (H0, H1, lam_p, lam_pp, k, c + 1), None
+            return (H0b + X0, H1b + X1, lam_p, lam_pp, k, c + 1), None
 
-        (H0, H1, lam_p, lam_pp, k, _), _ = jax.lax.scan(
+        (H0b, H1b, lam_p, lam_pp, k, _), _ = jax.lax.scan(
             band_step,
-            (H0, H1, lam_p, lam_pp, k, jnp.asarray(c_lo)),
+            (H0b, H1b, lam_p, lam_pp, k, jnp.asarray(c_lo)),
             (aa, bb),
         )
+        H0 = H0.at[..., :mw].add(H0b)
+        H1 = H1.at[..., :mw].add(H1b)
         # sequence the unrolled bands: without a barrier XLA may overlap
         # all bands' λ workspaces (observed 74 GB liveness at nside=1024)
         H0, H1, lam_p, lam_pp, k = jax.lax.optimization_barrier(
@@ -557,55 +565,118 @@ def _scaled_lam_step(lam_mm_s, k0, z, m_arr, out_mw=None):
     S, beta = _lam_scale_params(dt)
     THRESH = jnp.asarray(2.0**beta, dt)
     DOWN = jnp.asarray(2.0**-S, dt)
+    L = lam_mm_s.shape[1]
 
-    def l_step(c, ys):
+    def recur(c, ys):
         lam_p, lam_pp, k, l = c
         a_l, b_l = ys
-        at_seed = l == m_arr[None, :]
-        lam = jnp.where(
-            at_seed,
-            lam_mm_s,
-            a_l[None, :] * z[:, None] * lam_p + b_l[None, :] * lam_pp,
+        lam = a_l[None, :] * z[:, None] * lam_p + b_l[None, :] * lam_pp
+        # seed row: inject λ_mm into column m = l as a [nh, 1] column
+        # update — the broadcast-mask form re-reads the full seed/k0
+        # tables ([nh, L] each) every row, which tools/scan_binder_512.out
+        # measured as a ~24% tax on the recurrence stage.  Zero-padded
+        # rows beyond lmax clamp the column index; the select keeps them
+        # inert (columns m > l stay exactly zero until their seed row:
+        # the recurrence propagates zeros).
+        col = jnp.minimum(l, L - 1)
+        ok = l < L
+        seed_lam = jax.lax.dynamic_slice_in_dim(lam_mm_s, col, 1, axis=1)
+        seed_k = jax.lax.dynamic_slice_in_dim(k0, col, 1, axis=1)
+        cur_lam = jax.lax.dynamic_slice_in_dim(lam, col, 1, axis=1)
+        cur_k = jax.lax.dynamic_slice_in_dim(k, col, 1, axis=1)
+        lam = jax.lax.dynamic_update_slice_in_dim(
+            lam, jnp.where(ok, seed_lam, cur_lam), col, axis=1
         )
-        k = jnp.where(at_seed, k0, k)
+        k = jax.lax.dynamic_update_slice_in_dim(
+            k, jnp.where(ok, seed_k, cur_k), col, axis=1
+        )
         lam_out = jnp.where(k == 0, lam, 0.0)
         if out_mw is not None:
             lam_out = lam_out[:, :out_mw]
-        grow = (jnp.abs(lam) > THRESH) & (k > 0)
-        lam_n = jnp.where(grow, lam * DOWN, lam)
-        lam_p_n = jnp.where(grow, lam_p * DOWN, lam_p)
-        k = jnp.where(grow, k - 1, k)
-        return (lam_n, lam_p_n, k, l + 1), lam_out
+        return (lam, lam_p, k, l + 1), lam_out
 
+    def recur_raw(c, ys):
+        # recurrence row WITHOUT the emission mask: the raw (still-scaled)
+        # row is emitted and masked at the window level (emit_mask) — the
+        # per-row k read was a measured ~25% tax on the recurrence stage
+        # (tools/scan_binder_512.out, norescale vs base)
+        (lam, lam_p, k, l1), _ = recur(c, ys)
+        out = lam if out_mw is None else lam[:, :out_mw]
+        return (lam, lam_p, k, l1), out
+
+    def emit_mask(c):
+        # emission mask of a whole rescale window, from the window-end
+        # (pre-rescale) k: within a window k changes only at seed rows,
+        # and a column seeded at row l is zero for earlier rows anyway
+        # (the recurrence propagates zeros), so one mask serves all rows.
+        k = c[2]
+        return (k if out_mw is None else k[:, :out_mw]) == 0
+
+    def rescale(c):
+        lam_p, lam_pp, k, l = c
+        grow = (jnp.abs(lam_p) > THRESH) & (k > 0)
+        return (
+            jnp.where(grow, lam_p * DOWN, lam_p),
+            jnp.where(grow, lam_pp * DOWN, lam_pp),
+            jnp.where(grow, k - 1, k),
+            l,
+        )
+
+    def l_step(c, ys):
+        c2, lam_out = recur(c, ys)
+        return rescale(c2), lam_out
+
+    # split pieces for the deferred-rescale unrolled scan (_lam_scan_rows):
+    # still-scaled values grow by at most (1+sqrt(2))^4 ≈ 2^5.1 between
+    # checks, so the emitted-zero bound moves from 2^{β−S} to 2^{β+5.1−S}
+    # (f32: 2^-30 → ~3e-8, still below accumulation precision; f64:
+    # 2^-250, irrelevant) and λ̃ stays far from overflow.
+    l_step.recur_raw = recur_raw
+    l_step.emit_mask = emit_mask
+    l_step.rescale = rescale
     return l_step
+
+
+_RESCALE_WINDOW = 4
 
 
 def _lam_scan_rows(l_step, carry, aa, bb):
     """Scan ``l_step`` over the ℓ-rows of aa/bb [lc, L], several rows per
-    scan step.
+    scan step, with the rescale check and the emission mask amortised
+    over ``_RESCALE_WINDOW``-row windows.
 
-    The recurrence carry is 3 × [nh, L] (~75 MB f32 at nside=1024); a
-    one-row-per-step scan re-reads and re-writes all of it for every
-    emitted [nh, mw] λ row — a ~6× HBM-traffic amplification over the λ
-    rows themselves, which left the scan-mode Legendre stage carry-bound
-    at 39 GB/s effective (tools/scan_profile_1024.out: the λ stage was
-    2.0 s of the 2.44 s step).  Unrolling R rows inside one scan body
-    amortises the carry round trip over R emitted rows; the per-row
-    arithmetic sequence is identical, differing only in XLA's FMA
-    fusion choices — λ equal to the one-row scan at machine rounding
-    (measured 4e-13 rel in f64 synthesis, tests/test_sht.py).
+    The binder attribution (tools/scan_binder_512.out) showed the
+    recurrence stage pays ~24% in per-row full-width selects: the k-based
+    emission mask and the seed/rescale bookkeeping each re-read [nh, L]
+    state every row.  Inside an unrolled block, rows are generated raw
+    (recur_raw), then one window-end mask (emit_mask) zeroes the
+    still-scaled entries of all rows in the window and one rescale(c)
+    renormalises the carry.  Deferring the rescale moves the
+    emitted-zero bound from 2^{β−S} to ~2^{β+5.1−S} (f32: ~3e-8, still
+    below accumulation precision — see _scaled_lam_step); window-end
+    masking is exact for seed columns because pre-seed rows are zero by
+    recurrence.  Equal to the one-row scan at the class documented in
+    tests/test_sht.py::test_unrolled_lam_scan_matches_single_row.
     """
     lc = aa.shape[0]
     R = next((r for r in (8, 4, 2) if lc % r == 0), 1)
-    if R == 1:
+    recur_raw = getattr(l_step, "recur_raw", None)
+    if R == 1 or recur_raw is None:
         return jax.lax.scan(l_step, carry, (aa, bb))
+    emit_mask, rescale = l_step.emit_mask, l_step.rescale
+    W = _RESCALE_WINDOW
 
     def blk_step(c, ys):
         ar, br = ys
         outs = []
-        for i in range(R):
-            c, o = l_step(c, (ar[i], br[i]))
-            outs.append(o)
+        for i0 in range(0, R, W):
+            raw = []
+            for i in range(i0, min(i0 + W, R)):
+                c, o = recur_raw(c, (ar[i], br[i]))
+                raw.append(o)
+            m = emit_mask(c)
+            outs.extend(jnp.where(m, o, 0.0) for o in raw)
+            c = rescale(c)
         return c, jnp.stack(outs)
 
     carry, lam = jax.lax.scan(

