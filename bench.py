@@ -188,8 +188,13 @@ def main():
         # build: tables ~1e-6, ||R Rᵀ − C|| ~1e-6 relative
         # (tests/test_skysim.py::test_device_cl_setup).
         model = Corr21cm()
+        t_m = time.time()
         td = clfast.build_cl_tables_device(model, freqs)
+        t_b = time.time()
         roots_d = clfast.cl_roots_device(td, lmax)
+        print(f"# roots dispatch detail: model {t_m-t0:.1f}s, tables "
+              f"{t_b-t_m:.1f}s, cl+eigh {time.time()-t_b:.1f}s",
+              file=sys.stderr)
         # drop the host references to the DCT-table device buffers: the
         # runtime keeps them alive for the queued roots program; holding
         # them here would pin ~200 MB of HBM through the whole run
