@@ -423,6 +423,14 @@ def _correlated_GeGo_scan(op, t, roots, key, z_lo, nz_chunk,
             roots, [(0, Lp - roots.shape[0])] + [(0, 0)] * (roots.ndim - 1)
         )
 
+    # fused Pallas path: full-ring tables only (a ring-band-sharded
+    # caller — parallel/mesh 2-D programs — passes a z_half slice and
+    # keeps the XLA formulation)
+    if "psl_rec_a" in t and t["z_half"].shape[0] == 2 * op.nside:
+        with _stage("legendre"):
+            return _fused_scan_GeGo(op, t, roots, key, z_lo, nz_chunk,
+                                    xi_dtype)
+
     alm_blk = _make_split_draw_blk(roots, key, z_lo, nz_chunk, nz, xi_dtype)
 
     with _stage("legendre"):
@@ -430,6 +438,80 @@ def _correlated_GeGo_scan(op, t, roots, key, z_lo, nz_chunk,
             op, t, alm_blk, (nz_chunk, 2), jnp.float32, expand=False
         )
     return _join_planes(Ge), _join_planes(Go)
+
+
+def _fused_scan_GeGo(op, t, roots, key, z_lo, nz_chunk,
+                     xi_dtype=jnp.float32, interpret=False):
+    """Correlated draw + fused Pallas scan contraction.
+
+    Draws the same ξ stream as the XLA scan path (fold_in(key, c) per
+    consecutive-ℓ chunk, band-mw triangle limits) but materialises the
+    a_lm planes m-leading and feeds ops/pallas_scan_legendre — λ rows
+    are generated and consumed in VMEM, never reaching HBM (2.8× the
+    XLA scan stage on v5e, tools/scan_binder_512f.out).  The alm planes
+    cost one [Mp, Lp, 2·nz_chunk] f32 buffer; callers bound it with the
+    nz_leg sweep width (synthesis_scan_correlated).
+    """
+    from jax import lax
+
+    from ..ops.pallas_scan_legendre import scan_contract_fused
+
+    L = op.lmax + 1
+    lc = op.l_chunk
+    g = op.ckpt_every
+    nz = roots.shape[-1]
+    nh = t["z_half"].shape[0]
+    Lp, Mp = t["psl_rec_a"].shape
+    nchunk = -(-L // lc)
+    bb = max(1, (lc * g) // 128)
+    F2 = 2 * nz_chunk
+    half = jnp.asarray(0.70710678, jnp.float32)
+
+    rows = []
+    for b in range(-(-nchunk // g)):
+        c_lo = b * g
+        nc = min(g, nchunk - c_lo)
+        mw = min(L, ((min(L, (c_lo + nc) * lc) + 127) // 128) * 128)
+        for ci in range(nc):
+            c = c_lo + ci
+            kc = jax.random.fold_in(key, c)
+            kr, ki = jax.random.split(kc)
+            shape = (lc, nz, mw)
+            xi = jnp.stack(
+                [
+                    jax.random.normal(kr, shape, xi_dtype),
+                    jax.random.normal(ki, shape, xi_dtype),
+                ],
+                axis=2,
+            ).astype(jnp.float32) * half  # [lc, nz, 2, mw]
+            rblk = lax.dynamic_slice(
+                roots, (c * lc, z_lo, 0), (lc, nz_chunk, nz)
+            )
+            # m-leading assembly: F2 = (freq major, re/im minor)
+            blk = jnp.einsum("lzy,lypm->mlzp", rblk, xi)
+            blk = blk.reshape(mw, lc, F2)
+            if mw < Mp:
+                blk = jnp.pad(blk, ((0, Mp - mw), (0, 0), (0, 0)))
+            rows.append(blk)
+    A = jnp.concatenate(rows, axis=1)  # [Mp, nchunk·lc, F2]
+    if A.shape[1] < Lp:
+        A = jnp.pad(A, ((0, 0), (0, Lp - A.shape[1]), (0, 0)))
+
+    He, Ho = scan_contract_fused(
+        t["psl_rec_a"], t["psl_rec_b"], t["psl_seed"], t["psl_k0"],
+        t["psl_z"], t["psl_ck"], A[:, 0::2], A[:, 1::2],
+        lb=128, mt=128, rt=128, band_blocks=bb, interpret=interpret,
+    )
+
+    def route(Hm):
+        Hf = jnp.transpose(Hm, (2, 1, 0))[:, :nh, :L]  # [F2, nh, L]
+        return _join_planes(Hf.reshape(nz_chunk, 2, nh, L))
+
+    H0c, H1c = route(He), route(Ho)
+    meven = (jnp.arange(L)[None, :] % 2 == 0).astype(jnp.float32)
+    Ge = H0c * meven + H1c * (1.0 - meven)
+    Go = H0c * (1.0 - meven) + H1c * meven
+    return Ge, Go
 
 
 def synthesis_scan_correlated(op, t, roots, key, nz_leg, nz_ring, consume,
@@ -1785,6 +1867,7 @@ class SHT:
         fft_cmul: str = "xla",
         fft_precision: str | None = None,
         conv_mode: str | None = None,
+        scan_kernel: str = "auto",
     ):
         self.nside = int(nside)
         self.lmax = int(lmax)
@@ -2114,6 +2197,36 @@ class SHT:
         ):
             self._ck_host = self._load_or_build_checkpoints(ckpt_cache)
 
+        # scan-mode Legendre implementation for the correlated-synthesis
+        # path: "xla" = the lax.scan formulation; "pallas" = the fused
+        # recurrence+contraction kernel (ops/pallas_scan_legendre — λ
+        # never reaches HBM; measured 2.8× the XLA form on v5e,
+        # tools/scan_binder_512f.out).  "auto" selects pallas on
+        # accelerator backends when the geometry tiles into the kernel's
+        # 128-blocks (production nside ≥ 64 configs do; the checkpoint
+        # cadence l_chunk·ckpt_every must also be a 128-multiple so
+        # re-seeding lands on kernel block starts).
+        if scan_kernel not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown scan_kernel {scan_kernel!r}")
+        fits = (
+            legendre_mode == "scan"
+            and (2 * self.nside) % 128 == 0
+            and (self._ck_host is None
+                 or (self.l_chunk * self.ckpt_every) % 128 == 0)
+        )
+        if scan_kernel == "auto":
+            try:
+                on_acc = jax.default_backend() != "cpu"
+            except Exception:  # pragma: no cover
+                on_acc = False
+            scan_kernel = "pallas" if (on_acc and fits) else "xla"
+        elif scan_kernel == "pallas" and not fits:
+            raise ValueError(
+                "scan_kernel='pallas' needs 2·nside % 128 == 0 and the "
+                "re-seed cadence l_chunk·ckpt_every % 128 == 0"
+            )
+        self.scan_kernel = scan_kernel
+
         # device table cache per precision
         self._dev_tables = {}
 
@@ -2435,7 +2548,46 @@ class SHT:
                 # f32 only: overriding an exact f64 recurrence with
                 # f32-cast rows would degrade the double path
                 t["lam_ck"] = put(self._ck_host)
+            if self.scan_kernel == "pallas" and fdt == np.float32:
+                for k_, v in self._fused_scan_tables(seeds, k0).items():
+                    t[k_] = put(v)
         return t
+
+    def _fused_scan_tables(self, seeds, k0):
+        """Padded/transposed host tables for the fused scan kernel
+        (ops/pallas_scan_legendre): recurrence rows padded to 128-blocks,
+        seed/scale-count tables m-leading, checkpoints transposed.
+        Padded k0 lanes carry k=1 so they never emit."""
+        L = self.lmax + 1
+        nh = 2 * self.nside
+        lc, g = self.l_chunk, self.ckpt_every
+        nchunk = -(-L // lc)
+        Lp = ((nchunk * lc + 127) // 128) * 128
+        Mp = ((L + 127) // 128) * 128
+        Rp = ((nh + 127) // 128) * 128
+
+        rec_a = np.zeros((Lp, Mp), np.float32)
+        rec_b = np.zeros((Lp, Mp), np.float32)
+        rec_a[:L, :L] = self._rec_a
+        rec_b[:L, :L] = self._rec_b
+        seed_T = np.zeros((Mp, Rp), np.float32)
+        seed_T[:L, :nh] = np.asarray(seeds, np.float32).T
+        k0_T = np.ones((Mp, Rp), np.float32)
+        k0_T[:L, :nh] = np.asarray(k0, np.float32).T
+        z = np.zeros((Rp,), np.float32)
+        z[:nh] = self._z_half
+
+        bb = max(1, (lc * g) // 128)
+        nband_k = -(-(Lp // 128) // bb)
+        ckT = np.zeros((nband_k, 2, Mp, Rp), np.float32)
+        if self._ck_host is not None:
+            ck = np.asarray(self._ck_host, np.float32)
+            nb = min(nband_k, ck.shape[0])
+            ckT[:nb, :, :L, :nh] = np.transpose(ck[:nb], (0, 1, 3, 2))
+        return {
+            "psl_rec_a": rec_a, "psl_rec_b": rec_b, "psl_seed": seed_T,
+            "psl_k0": k0_T, "psl_z": z, "psl_ck": ckT,
+        }
 
     @staticmethod
     def _double_for(dtype):

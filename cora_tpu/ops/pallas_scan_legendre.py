@@ -1,0 +1,300 @@
+"""Fused recurrence + contraction Pallas kernel for the scan-mode SHT.
+
+The Λ-free scan path (cora_tpu/healpix/sht.py, legendre_mode="scan" —
+the per-device Legendre stage of every nside ≥ 1024 config) generates
+associated-Legendre rows by the scaled three-term recurrence and
+contracts them with a_lm per ℓ-chunk.  The XLA formulation has a
+measured floor of ~0.21 s at nside=512 (tools/scan_binder_512*.out):
+the contraction part alone sits at ~30% of HBM peak and the recurrence
+part pays HBM carry round trips — and every incremental restructuring
+(row unroll, deferred selects, band-local accumulators, K-doubling,
+precision, m-major relayout) measured ≤3%.
+
+This kernel removes the HBM λ intermediate entirely: for each
+(m-tile, ring-tile) the recurrence carry lives in VMEM scratch across
+the whole ℓ sweep, λ parity blocks are staged in VMEM, consumed
+immediately by batch-leading MXU dots, and the H accumulators persist
+in VMEM until one final write per tile.  HBM traffic is then just the
+a_lm planes (streamed per ℓ-block), the small seed/recurrence tables,
+and one write of H — the λ triangle (38 GB at nside=1024) never exists.
+
+Scaled-recurrence semantics match sht._scaled_lam_step with the
+rescale check amortised over row pairs (emitted-zero bound ~2^-27,
+below f32 accumulation precision; see sht._lam_scan_rows), including
+the checkpoint re-seeding at band starts (sht._ck_override).
+
+Replaces the per-transform CPU Legendre recurrences of the reference's
+libsharp engine (wrapped at /root/reference/cora/util/hputil.py:195+)
+with an on-accelerator fused generate-and-contract pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# f32 scaled-recurrence constants (sht._lam_scale_params)
+_SCALE_S = 60.0
+_SCALE_BETA = 30.0
+_CK_USE_TH = 2.0**-20
+
+
+def _kernel(rec_ab_ref, seed_ref, k0_ref, z_ref, ck_ref,
+            alm0_ref, alm1_ref, he_ref, ho_ref,
+            lam_p, lam_pp, kcnt, scr0, scr1,
+            *, lb, band_blocks, n_l):
+    """One (i_m, i_r, i_l) grid step.
+
+    rec_ab_ref: [2, LB, MT]  recurrence a/b rows for this ℓ-block
+    seed_ref, k0_ref: [MT, RT]  pre-scaled λ_mm seeds / scale counts
+    z_ref: [1, RT]  cosθ of the tile's rings
+    ck_ref: [1, 2, MT, RT]  checkpoint rows (λ_{l0-2}, λ_{l0-1})
+    alm0/1_ref: [MT, LB//2, F2]  even/odd-ℓ a_lm planes, m-leading
+    he/ho_ref: [MT, RT, F2]  output tiles (written at the last ℓ-block)
+    scratch: carries [MT, RT] ×3, λ parity stages [LB//2, MT, RT] ×2;
+    the output tiles themselves accumulate across ℓ-blocks (their index
+    map ignores i_l, so they stay VMEM-resident until the final write).
+    """
+    i_m = pl.program_id(0)
+    i_l = pl.program_id(2)
+    mt = seed_ref.shape[0]
+    lbe = lb // 2
+
+    l0 = i_l * lb
+    m0 = i_m * mt
+
+    @pl.when(i_l == 0)
+    def _init():
+        lam_p[:] = jnp.zeros_like(lam_p)
+        lam_pp[:] = jnp.zeros_like(lam_pp)
+        kcnt[:] = jnp.zeros_like(kcnt)
+        he_ref[:] = jnp.zeros_like(he_ref)
+        ho_ref[:] = jnp.zeros_like(ho_ref)
+
+    # checkpoint re-seeding at band starts (exact rows where available)
+    @pl.when((i_l % band_blocks == 0) & (i_l > 0))
+    def _ck():
+        c0 = ck_ref[0, 0]
+        c1 = ck_ref[0, 1]
+        use = (jnp.abs(c0) > _CK_USE_TH) & (jnp.abs(c1) > _CK_USE_TH)
+        lam_pp[:] = jnp.where(use, c0, lam_pp[:])
+        lam_p[:] = jnp.where(use, c1, lam_p[:])
+        kcnt[:] = jnp.where(use, jnp.zeros_like(kcnt[:]), kcnt[:])
+
+    # blocks entirely before this tile's first seed (l < m0 for every m)
+    # are identically zero — skip the sweep and the dots
+    @pl.when(l0 + lb > m0)
+    def _work():
+        z = z_ref[0, :][None, :]                      # [1, RT]
+        m_ids = m0 + jax.lax.broadcasted_iota(
+            jnp.int32, (mt, 1), 0
+        )                                              # [MT, 1]
+        thresh = jnp.float32(2.0**_SCALE_BETA)
+        down = jnp.float32(2.0**-_SCALE_S)
+
+        def pair(le, _):
+            l_even = l0 + 2 * le
+            ab = rec_ab_ref[:, pl.ds(2 * le, 2), :]    # [2, 2, MT]
+
+            def one_row(l_row, a_row, b_row, lp, lpp, k):
+                lam = a_row[:, None] * (z * lp) + b_row[:, None] * lpp
+                at_seed = m_ids == l_row
+                lam = jnp.where(at_seed, seed_ref[:], lam)
+                k = jnp.where(at_seed, k0_ref[:], k)
+                out = jnp.where(k == 0.0, lam, 0.0)
+                return lam, lp, k, out
+
+            lp, lpp, k = lam_p[:], lam_pp[:], kcnt[:]
+            lp, lpp, k, out_e = one_row(l_even, ab[0, 0], ab[1, 0],
+                                        lp, lpp, k)
+            lp, lpp, k, out_o = one_row(l_even + 1, ab[0, 1], ab[1, 1],
+                                        lp, lpp, k)
+            # rescale once per row pair (all-VMEM, amortised semantics)
+            grow = (jnp.abs(lp) > thresh) & (k > 0.0)
+            lam_p[:] = jnp.where(grow, lp * down, lp)
+            lam_pp[:] = jnp.where(grow, lpp * down, lpp)
+            kcnt[:] = jnp.where(grow, k - 1.0, k)
+            scr0[pl.ds(le, 1)] = out_e[None]
+            scr1[pl.ds(le, 1)] = out_o[None]
+            return 0
+
+        jax.lax.fori_loop(0, lbe, pair, 0)
+
+        # batch-leading MXU dots: [MT, F2, LBe] · [MT, LBe, RT]
+        lam0 = jnp.transpose(scr0[:], (1, 0, 2))       # [MT, LBe, RT]
+        lam1 = jnp.transpose(scr1[:], (1, 0, 2))
+        dn = (((2,), (1,)), ((0,), (0,)))
+        x0 = jax.lax.dot_general(
+            jnp.transpose(alm0_ref[:], (0, 2, 1)), lam0,
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                              # [MT, F2, RT]
+        x1 = jax.lax.dot_general(
+            jnp.transpose(alm1_ref[:], (0, 2, 1)), lam1,
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        he_ref[:] += jnp.transpose(x0, (0, 2, 1))      # [MT, RT, F2]
+        ho_ref[:] += jnp.transpose(x1, (0, 2, 1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lb", "mt", "rt", "band_blocks", "interpret"),
+)
+def scan_contract_fused(rec_a, rec_b, lam_mm_T, k0_T, z, ck_T,
+                        alm0_m, alm1_m, *, lb=128, mt=128, rt=128,
+                        band_blocks=2, interpret=False):
+    """Fused scan-Legendre contraction.
+
+    Parameters
+    ----------
+    rec_a, rec_b : [L, M] recurrence coefficient rows (sht tables).
+    lam_mm_T, k0_T : [M, R] transposed seed tables.
+    z : [R] cosθ (northern half-rings).
+    ck_T : [nband, 2, M, R] transposed checkpoint rows (zeros disable).
+    alm0_m, alm1_m : [M, L//2, F2] m-leading even/odd-ℓ a_lm planes.
+
+    Returns
+    -------
+    (He, Ho) : [M, R, F2] float32 — even/odd-ℓ accumulators, m-leading
+    (transpose to [F2, R, M] for the parity → N/S routing).
+    """
+    L, M = rec_a.shape
+    R = z.shape[0]
+    F2 = alm0_m.shape[-1]
+    if L % lb or M % mt or R % rt or lb % 2:
+        raise ValueError("shape/tile mismatch")
+    n_l = L // lb
+
+    rec_ab = jnp.stack([rec_a, rec_b])                 # [2, L, M]
+    z2 = z.reshape(1, R)
+    lbe = lb // 2
+
+    grid = (M // mt, R // rt, n_l)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, lb=lb, band_blocks=band_blocks, n_l=n_l
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, lb, mt), lambda m, r, l: (0, l, m)),
+            pl.BlockSpec((mt, rt), lambda m, r, l: (m, r)),
+            pl.BlockSpec((mt, rt), lambda m, r, l: (m, r)),
+            pl.BlockSpec((1, rt), lambda m, r, l: (0, r)),
+            pl.BlockSpec(
+                (1, 2, mt, rt),
+                lambda m, r, l, bb=band_blocks: (l // bb, 0, m, r),
+            ),
+            pl.BlockSpec((mt, lbe, F2), lambda m, r, l: (m, l, 0)),
+            pl.BlockSpec((mt, lbe, F2), lambda m, r, l: (m, l, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((mt, rt, F2), lambda m, r, l: (m, r, 0)),
+            pl.BlockSpec((mt, rt, F2), lambda m, r, l: (m, r, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, R, F2), jnp.float32),
+            jax.ShapeDtypeStruct((M, R, F2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((mt, rt), jnp.float32),
+            pltpu.VMEM((mt, rt), jnp.float32),
+            pltpu.VMEM((mt, rt), jnp.float32),
+            pltpu.VMEM((lbe, mt, rt), jnp.float32),
+            pltpu.VMEM((lbe, mt, rt), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * F2 * L * R * M // 2,
+            bytes_accessed=4 * (M * L * F2 + 2 * M * R * F2),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(rec_ab, lam_mm_T, k0_T, z2, ck_T, alm0_m, alm1_m)
+    return out
+
+
+def fused_GeGo(op, t, alm, interpret=False, mt=128, rt=128, lb=128):
+    """Ge/Go ring spectra from a batched alm via the fused kernel.
+
+    alm: [..., L, M] complex (batch flattened into the F2 plane axis).
+    Returns (Ge, Go) [..., nh, M] complex64 like
+    sht._legendre_contract_scan_streamed(expand=False) after plane join.
+    """
+    L = op.lmax + 1
+    nh = int(np.asarray(t["z_half"]).shape[0])
+
+    batch = alm.shape[:-2]
+    B = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    a = alm.reshape(B, L, L)
+    planes = jnp.concatenate([a.real, a.imag], axis=0).astype(jnp.float32)
+    F2 = 2 * B
+
+    # pad every axis to its tile multiple
+    def pad_to(x, mult, axis):
+        n = x.shape[axis]
+        p = (-n) % mult
+        if p == 0:
+            return x
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (0, p)
+        return jnp.pad(x, pads)
+
+    Lp = L + ((-L) % lb)
+    Mp = L + ((-L) % mt)
+    Rp = nh + ((-nh) % rt)
+
+    rec_a = pad_to(pad_to(t["rec_a"], lb, 0), mt, 1)
+    rec_b = pad_to(pad_to(t["rec_b"], lb, 0), mt, 1)
+    lam_mm_T = pad_to(pad_to(t["lam_mm"].T, mt, 0), rt, 1)
+    k0_T = pad_to(pad_to(t["lam_k0"].T, mt, 0), rt, 1)
+    # pad k0 with k=1 so padded lanes never emit
+    if Mp > L or Rp > nh:
+        mask = jnp.zeros((Mp, Rp), bool).at[:L, :nh].set(True)
+        k0_T = jnp.where(mask, k0_T, 1.0)
+    z = pad_to(t["z_half"].astype(jnp.float32), rt, 0)
+
+    ck = t.get("lam_ck")
+    n_l = Lp // lb
+    if ck is not None:
+        bb = max(1, (op.l_chunk * op.ckpt_every) // lb)
+        nband_k = -(-n_l // bb)
+        ckT = jnp.transpose(ck.astype(jnp.float32), (0, 1, 3, 2))
+        ckT = pad_to(pad_to(ckT, mt, 2), rt, 3)
+        have = ckT.shape[0]
+        if have < nband_k:
+            ckT = jnp.pad(ckT, ((0, nband_k - have), (0, 0), (0, 0), (0, 0)))
+        ckT = ckT[:nband_k]
+    else:
+        bb = n_l  # single band: the override never fires after block 0
+        ckT = jnp.zeros((1, 2, Mp, Rp), jnp.float32)
+
+    am = jnp.transpose(planes, (2, 1, 0))              # [M, L, F2]
+    am = pad_to(pad_to(am, mt, 0), lb, 1)
+    alm0_m = am[:, 0::2, :]
+    alm1_m = am[:, 1::2, :]
+
+    He, Ho = scan_contract_fused(
+        rec_a.astype(jnp.float32), rec_b.astype(jnp.float32),
+        lam_mm_T.astype(jnp.float32), k0_T.astype(jnp.float32),
+        z, ckT, alm0_m, alm1_m,
+        lb=lb, mt=mt, rt=rt, band_blocks=bb, interpret=interpret,
+    )
+    # [M, R, F2] → [F2, R, M] → complex planes → parity → m routing
+    H0 = jnp.transpose(He, (2, 1, 0))[:, :nh, :L]
+    H1 = jnp.transpose(Ho, (2, 1, 0))[:, :nh, :L]
+    H0c = (H0[:B] + 1j * H0[B:]).reshape(batch + (nh, L))
+    H1c = (H1[:B] + 1j * H1[B:]).reshape(batch + (nh, L))
+    meven = (jnp.arange(L)[None, :] % 2 == 0).astype(jnp.float32)
+    Ge = H0c * meven + H1c * (1.0 - meven)
+    Go = H0c * (1.0 - meven) + H1c * meven
+    return Ge, Go

@@ -254,9 +254,10 @@ def pk_flat(
         Σ_m |a^{f}_lm|² = Σ_{m≥0} w_m (|a^{u}_lm|² + |a^{v}_lm|²),
 
     with w_0 = 1, w_{m>0} = 2 (and Re Σ_m a b* likewise for the cross
-    spectrum) — no full-m alm array is ever built.  On TPU the batched
-    analysis runs at ~11 ms/map (BASELINE.md); tools/bench_estimators.py
-    has the measured v5e rows.
+    spectrum) — no full-m alm array is ever built.  Measured v5e rows
+    (tools/bench_estimators.py → tools/bench_estimators_v5e.out and the
+    BASELINE.md "LSS estimators" table): ~9 s per pk_flat call at
+    nside=256 × 32 shells ≈ 264 ms per analysed map end-to-end.
     """
     if maps2 is not None and maps.shape != maps2.shape:
         raise ValueError("Shape of maps2 is not compatible with maps")

@@ -222,7 +222,7 @@ def test_synthesize_cube_sharded_2d(mesh_shape, fchunk):
         # the 2-D sim×freq variant re-compiles the whole program; slow
         # tier (the 1-D case already proves the vmap-over-keys sharding)
         pytest.param(
-            ((("sim", 4), ("freq", 2)), "freq"), marks=pytest.mark.slow
+            (("sim", 4), ("freq", 2)), "freq", marks=pytest.mark.slow
         ),
     ],
 )

@@ -55,7 +55,13 @@ def _random_alm(rng, lmax):
     return alm
 
 
-@pytest.mark.parametrize("nside,lmax,iters,tol", [(32, 31, 3, 5e-7), (32, 63, 5, 5e-7)])
+@pytest.mark.parametrize(
+    "nside,lmax,iters,tol",
+    [
+        (32, 31, 3, 5e-7),
+        pytest.param(32, 63, 5, 5e-7, marks=pytest.mark.slow),
+    ],
+)
 def test_roundtrip(nside, lmax, iters, tol):
     """map2alm(alm2map(a)) recovers a for band-limited maps."""
     rng = np.random.RandomState(3)
@@ -530,11 +536,46 @@ def test_analysis_cg_scan_mode_full_lmax():
     assert rel150 < 1e-10
 
 
+def _banded_cap_ops():
+    from cora_tpu.healpix.sht import SHT
+
+    nside = 32
+    lmax = 3 * nside - 1
+    L = lmax + 1
+    rng = np.random.RandomState(3)
+    alm = (rng.randn(2, L, L) + 1j * rng.randn(2, L, L)) * (
+        np.arange(L)[None, None, :] <= np.arange(L)[None, :, None]
+    )
+    op_d = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm",
+               ring_mode="split", cap_bands=0)
+    op_b = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm",
+               ring_mode="split", cap_bands=4)
+    return op_d, op_b, alm, L
+
+
+def test_banded_cap_synthesis_matches_dense():
+    """Banded cap Bluestein (per-band conv sizes + m-truncation) must
+    match the single-size cap convolution for real synthesis — the
+    fast-tier banding check (the complex/analysis/cap_sub paths compile
+    another four f64 programs and run --runslow).  m-truncation only
+    drops columns where lambda_lm ~ 0, so the agreement bound is the
+    truncation epsilon, not machine precision."""
+    from cora_tpu.healpix.sht import _synthesis_grid
+
+    op_d, op_b, alm, L = _banded_cap_ops()
+    assert op_b._cap_bands is not None and len(op_b._cap_bands) >= 2
+    # at least one band must actually truncate m for the test to bite
+    assert any(M < L for (_, _, M, _, _) in op_b._cap_bands)
+    td, tb = op_d.tables(True), op_b.tables(True)
+    gd = np.asarray(_synthesis_grid(op_d, td, jnp.asarray(alm)))
+    gb = np.asarray(_synthesis_grid(op_b, tb, jnp.asarray(alm)))
+    assert np.abs(gb - gd).max() < 1e-6 * np.abs(gd).max()
+
+
+@pytest.mark.slow
 def test_banded_cap_conv_matches_dense():
-    """Banded cap Bluestein (per-band conv sizes + m-truncation) must match
-    the single-size cap convolution for synthesis, complex synthesis and
-    analysis.  m-truncation only drops columns where lambda_lm ~ 0, so the
-    agreement bound is the truncation epsilon, not machine precision."""
+    """Banded cap Bluestein vs dense on the remaining paths: complex
+    synthesis, analysis adjoint, cap-conv sub-batching."""
     from cora_tpu.healpix.sht import (
         SHT,
         _analysis_once_grid,
@@ -727,8 +768,11 @@ def test_rings_to_grid_parity_matches_expand(nside, cap_bands):
 @pytest.mark.parametrize(
     "ring_mode,cap_bands,nside",
     [
+        # the dense case covers the ADVICE-r4 regression (fused-conv
+        # dense complex synthesis); each extra case costs ~30 s of
+        # 1-core compiles, so the split and banded cases run --runslow
         ("dense", 0, 8),
-        ("split", 0, 8),
+        pytest.param("split", 0, 8, marks=pytest.mark.slow),
         # banding activates only at nside >= 32: the banded-fused paths
         # (fftB conv families) get their equality check in the slow tier
         pytest.param("split", 4, 32, marks=pytest.mark.slow),

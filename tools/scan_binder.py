@@ -91,6 +91,44 @@ def main():
     m_arr_np = np.arange(L)
 
     def make_fn(mode, R):
+        if mode == "pallas":
+            # fused recurrence+contraction kernel (ops/pallas_scan_legendre)
+            # with constant alm planes — the lamleg-equivalent measurement
+            from cora_tpu.ops import pallas_scan_legendre as psl
+
+            Mp = L + ((-L) % 128)
+            Rp = nh + ((-nh) % 128)
+            rec_a = np.zeros((Mp, Mp), np.float32)
+            rec_b = np.zeros((Mp, Mp), np.float32)
+            rec_a[:L, :L] = np.asarray(t["rec_a"])
+            rec_b[:L, :L] = np.asarray(t["rec_b"])
+            lam_mm_T = np.zeros((Mp, Rp), np.float32)
+            lam_mm_T[:L, :nh] = np.asarray(t["lam_mm"]).T
+            k0_T = np.ones((Mp, Rp), np.float32)
+            k0_T[:L, :nh] = np.asarray(t["lam_k0"]).T
+            zp = np.zeros((Rp,), np.float32)
+            zp[:nh] = np.asarray(t["z_half"])
+            bb = max(1, (op.l_chunk * op.ckpt_every) // 128)
+            n_l = Mp // 128
+            nband_k = -(-n_l // bb)
+            ck = np.asarray(t["lam_ck"])
+            ckT = np.zeros((nband_k, 2, Mp, Rp), np.float32)
+            nb = min(nband_k, ck.shape[0])
+            ckT[:nb, :, :L, :nh] = np.transpose(ck[:nb], (0, 1, 3, 2))
+            F2 = fleg * 2
+            alm0 = jnp.full((Mp, Mp // 2, F2), 1e-6, jnp.float32)
+            alm1 = jnp.full((Mp, Mp // 2, F2), 1e-6, jnp.float32)
+            args = [xfer.put(a) for a in
+                    (rec_a, rec_b, lam_mm_T, k0_T, zp, ckT)]
+
+            def _run_pallas(tt):
+                He, Ho = psl.scan_contract_fused(
+                    *args, alm0, alm1, lb=128, mt=128, rt=128,
+                    band_blocks=bb)
+                return jnp.sum(jnp.abs(He)) + jnp.sum(jnp.abs(Ho))
+
+            return jax.jit(_run_pallas)
+
         if mode == "prod":
             # the real production streamed contraction (constant alm blocks,
             # like scan_profile.py's lamleg) — picks up whatever
@@ -114,6 +152,8 @@ def main():
 
             H0 = jnp.zeros((fleg, 2, nh, L), dtype=jnp.float32)
             H1 = jnp.zeros_like(H0)
+            Hm0 = jnp.zeros((L, fleg * 2, nh), dtype=jnp.float32)
+            Hm1 = jnp.zeros_like(Hm0)
             acc = jnp.zeros((nh, L), dtype=fdt)
             lam_p = jnp.zeros((nh, L), dtype=fdt)
             lam_pp = jnp.zeros_like(lam_p)
@@ -200,6 +240,73 @@ def main():
                          bb_c.reshape((lc // R, R) + bb_c.shape[1:])))
                     return carry, lam.reshape((lc,) + lam.shape[2:])
 
+                prec = ("high" if mode.endswith("high") else op.precision)
+
+                if mode == "mmajor":
+                    # m-leading Legendre stage: one explicit λ relayout per
+                    # band into [mw, l, nh] (the batch-leading layout the
+                    # TPU matmul wants — the cached path pre-packs Λ
+                    # m-major for exactly this reason and reaches 63% of
+                    # HBM peak), band accumulators [mw, f, 2, nh], final
+                    # transpose once outside the band loop
+                    def band_rec(carry, xs):
+                        lam_p, lam_pp, k, c = carry
+                        aa_c, bb_c = xs
+                        (lam_p, lam_pp, k, _), lam_chunk = scan_rows(
+                            l_step, (lam_p, lam_pp, k, c * lc), aa_c, bb_c)
+                        return (lam_p, lam_pp, k, c + 1), lam_chunk
+
+                    (lam_p, lam_pp, k, _), lam_band = jax.lax.scan(
+                        band_rec, (lam_p, lam_pp, k, jnp.asarray(c_lo)),
+                        (aa, bb))
+                    lam_m = jnp.transpose(
+                        lam_band.reshape(nc * lc, nh, mw), (2, 0, 1)
+                    ).astype(jnp.float32)  # [mw, l, nh]
+                    alm_m = jnp.full(
+                        (mw, nc * lc, fleg * 2), 1e-6, jnp.float32)
+                    X0 = jnp.einsum("mlr,mlf->mfr", lam_m[:, 0::2],
+                                    alm_m[:, 0::2], precision=prec)
+                    X1 = jnp.einsum("mlr,mlf->mfr", lam_m[:, 1::2],
+                                    alm_m[:, 1::2], precision=prec)
+                    # m-leading full accumulators live in acc-like bufs:
+                    # reuse H0/H1 transposed views via at[] on axis 0
+                    Hm0 = Hm0.at[:mw].add(X0)
+                    Hm1 = Hm1.at[:mw].add(X1)
+                    (Hm0, Hm1, lam_p, lam_pp, k) = (
+                        jax.lax.optimization_barrier(
+                            (Hm0, Hm1, lam_p, lam_pp, k)))
+                    continue
+
+                if mode.startswith("bandein"):
+                    # one einsum per BAND (K = band rows / 2 per parity)
+                    # from the stacked λ of the whole band — tests whether
+                    # the per-chunk K=lc/2 batched matmuls are what holds
+                    # the einsum stage at ~10% MXU
+                    def band_rec(carry, xs):
+                        lam_p, lam_pp, k, c = carry
+                        aa_c, bb_c = xs
+                        (lam_p, lam_pp, k, _), lam_chunk = scan_rows(
+                            l_step, (lam_p, lam_pp, k, c * lc), aa_c, bb_c)
+                        return (lam_p, lam_pp, k, c + 1), lam_chunk
+
+                    (lam_p, lam_pp, k, _), lam_band = jax.lax.scan(
+                        band_rec, (lam_p, lam_pp, k, jnp.asarray(c_lo)),
+                        (aa, bb))
+                    lam_band = lam_band.reshape(nc * lc, nh, mw).astype(
+                        jnp.float32)
+                    alm_band = jnp.full(
+                        (fleg, 2, nc * lc, mw), 1e-6, jnp.float32)
+                    X0 = jnp.einsum("lrm,...lm->...rm", lam_band[0::2],
+                                    alm_band[..., 0::2, :], precision=prec)
+                    X1 = jnp.einsum("lrm,...lm->...rm", lam_band[1::2],
+                                    alm_band[..., 1::2, :], precision=prec)
+                    H0 = H0.at[..., :mw].add(X0)
+                    H1 = H1.at[..., :mw].add(X1)
+                    (H0, H1, acc, lam_p, lam_pp, k) = (
+                        jax.lax.optimization_barrier(
+                            (H0, H1, acc, lam_p, lam_pp, k)))
+                    continue
+
                 def band_step(carry, xs):
                     H0, H1, acc, lam_p, lam_pp, k, c = carry
                     aa_c, bb_c = xs
@@ -214,11 +321,11 @@ def main():
                     else:
                         X0 = jnp.einsum(
                             "lrm,...lm->...rm", lam_c[0::2],
-                            alm_blk[..., 0::2, :], precision=op.precision)
+                            alm_blk[..., 0::2, :], precision=prec)
                         H0 = H0.at[..., :mw].add(X0)
                         X1 = jnp.einsum(
                             "lrm,...lm->...rm", lam_c[1::2],
-                            alm_blk[..., 1::2, :], precision=op.precision)
+                            alm_blk[..., 1::2, :], precision=prec)
                         H1 = H1.at[..., :mw].add(X1)
                     return (H0, H1, acc, lam_p, lam_pp, k, c + 1), None
 
@@ -230,6 +337,11 @@ def main():
                     jax.lax.optimization_barrier(
                         (H0, H1, acc, lam_p, lam_pp, k)))
 
+            if mode == "mmajor":
+                # final relayout to the ring-stage order, once
+                G0 = jnp.transpose(Hm0, (1, 2, 0))
+                G1 = jnp.transpose(Hm1, (1, 2, 0))
+                return jnp.sum(jnp.abs(G0)) + jnp.sum(jnp.abs(G1))
             return (jnp.sum(jnp.abs(H0)) + jnp.sum(jnp.abs(H1))
                     + jnp.sum(jnp.abs(acc)))
 
