@@ -256,8 +256,8 @@ def pk_flat(
     with w_0 = 1, w_{m>0} = 2 (and Re Σ_m a b* likewise for the cross
     spectrum) — no full-m alm array is ever built.  Measured v5e rows
     (tools/bench_estimators.py → tools/bench_estimators_v5e.out and the
-    BASELINE.md "LSS estimators" table): ~9 s per pk_flat call at
-    nside=256 × 32 shells ≈ 264 ms per analysed map end-to-end.
+    BASELINE.md "LSS estimators" table): ~8.2 s per pk_flat call at
+    nside=256 × 32 shells ≈ 240 ms per analysed map end-to-end.
     """
     if maps2 is not None and maps.shape != maps2.shape:
         raise ValueError("Shape of maps2 is not compatible with maps")
