@@ -467,7 +467,12 @@ def _fused_scan_GeGo(op, t, roots, key, z_lo, nz_chunk,
     F2 = 2 * nz_chunk
     half = jnp.asarray(0.70710678, jnp.float32)
 
-    rows = []
+    # assemble the parity-split planes in place (dynamic_update_slice
+    # chain + a per-band barrier through `roots`): the pad/concat form
+    # holds every chunk block live at once — 42 GB peak at nside=2048
+    # (tools/scan_2048_noring.out round 5) vs ~2×alm here
+    A0 = jnp.zeros((Mp, Lp // 2, F2), jnp.float32)
+    A1 = jnp.zeros_like(A0)
     for b in range(-(-nchunk // g)):
         c_lo = b * g
         nc = min(g, nchunk - c_lo)
@@ -487,19 +492,21 @@ def _fused_scan_GeGo(op, t, roots, key, z_lo, nz_chunk,
             rblk = lax.dynamic_slice(
                 roots, (c * lc, z_lo, 0), (lc, nz_chunk, nz)
             )
-            # m-leading assembly: F2 = (freq major, re/im minor)
+            # m-leading assembly: F2 = (freq major, re/im minor); chunk
+            # rows are consecutive ℓ so in-chunk row parity == ℓ parity
             blk = jnp.einsum("lzy,lypm->mlzp", rblk, xi)
             blk = blk.reshape(mw, lc, F2)
-            if mw < Mp:
-                blk = jnp.pad(blk, ((0, Mp - mw), (0, 0), (0, 0)))
-            rows.append(blk)
-    A = jnp.concatenate(rows, axis=1)  # [Mp, nchunk·lc, F2]
-    if A.shape[1] < Lp:
-        A = jnp.pad(A, ((0, 0), (0, Lp - A.shape[1]), (0, 0)))
+            A0 = lax.dynamic_update_slice(
+                A0, blk[:, 0::2], (0, c * (lc // 2), 0)
+            )
+            A1 = lax.dynamic_update_slice(
+                A1, blk[:, 1::2], (0, c * (lc // 2), 0)
+            )
+        A0, A1, roots = jax.lax.optimization_barrier((A0, A1, roots))
 
     He, Ho = scan_contract_fused(
         t["psl_rec_a"], t["psl_rec_b"], t["psl_seed"], t["psl_k0"],
-        t["psl_z"], t["psl_ck"], A[:, 0::2], A[:, 1::2],
+        t["psl_z"], t["psl_ck"], A0, A1,
         lb=128, mt=128, rt=128, band_blocks=bb, interpret=interpret,
     )
 
@@ -2579,11 +2586,15 @@ class SHT:
 
         bb = max(1, (lc * g) // 128)
         nband_k = -(-(Lp // 128) // bb)
-        ckT = np.zeros((nband_k, 2, Mp, Rp), np.float32)
-        if self._ck_host is not None:
+        if self._ck_host is not None and nband_k > 1:
+            ckT = np.zeros((nband_k, 2, Mp, Rp), np.float32)
             ck = np.asarray(self._ck_host, np.float32)
             nb = min(nband_k, ck.shape[0])
             ckT[:nb, :, :L, :nh] = np.transpose(ck[:nb], (0, 1, 3, 2))
+        else:
+            # no checkpoints (or a single band): the kernel wrapper swaps
+            # in a one-block dummy, so don't ship band-count zeros
+            ckT = np.zeros((1, 2, 1, 1), np.float32)
         return {
             "psl_rec_a": rec_a, "psl_rec_b": rec_b, "psl_seed": seed_T,
             "psl_k0": k0_T, "psl_z": z, "psl_ck": ckT,

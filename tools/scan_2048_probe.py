@@ -70,7 +70,13 @@ def main():
     op = SHT(nside, lmax, legendre_mode="scan", fft_mode="mm",
              l_chunk=args.lchunk, precision="highest",
              scan_kernel="pallas", **kw)
-    t = xfer.put_tree(op.tables(False))
+    tt = op.tables(False)
+    if args.noring:
+        # the Legendre-only probe must not pin the (multi-GB at this
+        # size) ring-stage Bluestein tables in HBM
+        tt = {k: v for k, v in tt.items()
+              if k.startswith("psl_") or k == "z_half"}
+    t = xfer.put_tree(tt)
     print(f"# SHT setup: {time.time()-t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)
