@@ -471,7 +471,7 @@ def _fused_scan_GeGo(op, t, roots, key, z_lo, nz_chunk,
     # chain + a per-band barrier through `roots`): the pad/concat form
     # holds every chunk block live at once — 42 GB peak at nside=2048
     # (tools/scan_2048_noring.out round 5) vs ~2×alm here
-    A0 = jnp.zeros((Mp, Lp // 2, F2), jnp.float32)
+    A0 = jnp.zeros((F2, Lp // 2, Mp), jnp.float32)
     A1 = jnp.zeros_like(A0)
     for b in range(-(-nchunk // g)):
         c_lo = b * g
@@ -492,10 +492,12 @@ def _fused_scan_GeGo(op, t, roots, key, z_lo, nz_chunk,
             rblk = lax.dynamic_slice(
                 roots, (c * lc, z_lo, 0), (lc, nz_chunk, nz)
             )
-            # m-leading assembly: F2 = (freq major, re/im minor); chunk
-            # rows are consecutive ℓ so in-chunk row parity == ℓ parity
-            blk = jnp.einsum("lzy,lypm->mlzp", rblk, xi)
-            blk = blk.reshape(mw, lc, F2)
+            # plane-major, m-minor assembly (F2 = freq major, re/im
+            # minor — keeping m as the lane axis; a minor F2 would get
+            # lane-padded 16× by Mosaic); chunk rows are consecutive ℓ
+            # so in-chunk row parity == ℓ parity
+            blk = jnp.einsum("lzy,lypm->zplm", rblk, xi)
+            blk = blk.reshape(F2, lc, mw)
             A0 = lax.dynamic_update_slice(
                 A0, blk[:, 0::2], (0, c * (lc // 2), 0)
             )
@@ -511,7 +513,7 @@ def _fused_scan_GeGo(op, t, roots, key, z_lo, nz_chunk,
     )
 
     def route(Hm):
-        Hf = jnp.transpose(Hm, (2, 1, 0))[:, :nh, :L]  # [F2, nh, L]
+        Hf = Hm[:, :nh, :L]  # [F2, nh, L] — kernel output layout
         return _join_planes(Hf.reshape(nz_chunk, 2, nh, L))
 
     H0c, H1c = route(He), route(Ho)

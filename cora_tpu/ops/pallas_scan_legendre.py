@@ -54,8 +54,10 @@ def _kernel(rec_ab_ref, seed_ref, k0_ref, z_ref, ck_ref,
     seed_ref, k0_ref: [MT, RT]  pre-scaled λ_mm seeds / scale counts
     z_ref: [1, RT]  cosθ of the tile's rings
     ck_ref: [1, 2, MT, RT]  checkpoint rows (λ_{l0-2}, λ_{l0-1})
-    alm0/1_ref: [MT, LB//2, F2]  even/odd-ℓ a_lm planes, m-leading
-    he/ho_ref: [MT, RT, F2]  output tiles (written at the last ℓ-block)
+    alm0/1_ref: [F2, LB//2, MT]  even/odd-ℓ a_lm planes (m minor: the
+        plane count F2 is small and unaligned — lane-padding a minor F2
+        cost 16× HBM at nside=2048, tools/scan_2048_noring.out)
+    he/ho_ref: [F2, RT, MT]  output tiles, accumulated across ℓ-blocks
     scratch: carries [MT, RT] ×3, λ parity stages [LB//2, MT, RT] ×2;
     the output tiles themselves accumulate across ℓ-blocks (their index
     map ignores i_l, so they stay VMEM-resident until the final write).
@@ -133,17 +135,17 @@ def _kernel(rec_ab_ref, seed_ref, k0_ref, z_ref, ck_ref,
         lam1 = jnp.transpose(scr1[:], (1, 0, 2))
         dn = (((2,), (1,)), ((0,), (0,)))
         x0 = jax.lax.dot_general(
-            jnp.transpose(alm0_ref[:], (0, 2, 1)), lam0,
+            jnp.transpose(alm0_ref[:], (2, 0, 1)), lam0,
             dimension_numbers=dn, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )                                              # [MT, F2, RT]
         x1 = jax.lax.dot_general(
-            jnp.transpose(alm1_ref[:], (0, 2, 1)), lam1,
+            jnp.transpose(alm1_ref[:], (2, 0, 1)), lam1,
             dimension_numbers=dn, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        he_ref[:] += jnp.transpose(x0, (0, 2, 1))      # [MT, RT, F2]
-        ho_ref[:] += jnp.transpose(x1, (0, 2, 1))
+        he_ref[:] += jnp.transpose(x0, (1, 2, 0))      # [F2, RT, MT]
+        ho_ref[:] += jnp.transpose(x1, (1, 2, 0))
 
 
 @functools.partial(
@@ -161,16 +163,18 @@ def scan_contract_fused(rec_a, rec_b, lam_mm_T, k0_T, z, ck_T,
     lam_mm_T, k0_T : [M, R] transposed seed tables.
     z : [R] cosθ (northern half-rings).
     ck_T : [nband, 2, M, R] transposed checkpoint rows (zeros disable).
-    alm0_m, alm1_m : [M, L//2, F2] m-leading even/odd-ℓ a_lm planes.
+    alm0_m, alm1_m : [F2, L//2, M] even/odd-ℓ a_lm planes (m minor —
+        the small plane axis must never be a lane dimension: Mosaic
+        lane-pads minor axes to 128, which cost 16× HBM at nside=2048).
 
     Returns
     -------
-    (He, Ho) : [M, R, F2] float32 — even/odd-ℓ accumulators, m-leading
-    (transpose to [F2, R, M] for the parity → N/S routing).
+    (He, Ho) : [F2, R, M] float32 — even/odd-ℓ accumulators, ready for
+    the parity → N/S routing without a relayout.
     """
     L, M = rec_a.shape
     R = z.shape[0]
-    F2 = alm0_m.shape[-1]
+    F2 = alm0_m.shape[0]
     if L % lb or M % mt or R % rt or lb % 2:
         raise ValueError("shape/tile mismatch")
     n_l = L // lb
@@ -203,16 +207,16 @@ def scan_contract_fused(rec_a, rec_b, lam_mm_T, k0_T, z, ck_T,
                 (lambda m, r, l, bb=band_blocks: (l // bb, 0, m, r))
                 if use_ck else (lambda m, r, l: (0, 0, 0, 0)),
             ),
-            pl.BlockSpec((mt, lbe, F2), lambda m, r, l: (m, l, 0)),
-            pl.BlockSpec((mt, lbe, F2), lambda m, r, l: (m, l, 0)),
+            pl.BlockSpec((F2, lbe, mt), lambda m, r, l: (0, l, m)),
+            pl.BlockSpec((F2, lbe, mt), lambda m, r, l: (0, l, m)),
         ],
         out_specs=[
-            pl.BlockSpec((mt, rt, F2), lambda m, r, l: (m, r, 0)),
-            pl.BlockSpec((mt, rt, F2), lambda m, r, l: (m, r, 0)),
+            pl.BlockSpec((F2, rt, mt), lambda m, r, l: (0, r, m)),
+            pl.BlockSpec((F2, rt, mt), lambda m, r, l: (0, r, m)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((M, R, F2), jnp.float32),
-            jax.ShapeDtypeStruct((M, R, F2), jnp.float32),
+            jax.ShapeDtypeStruct((F2, R, M), jnp.float32),
+            jax.ShapeDtypeStruct((F2, R, M), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((mt, rt), jnp.float32),
@@ -289,8 +293,7 @@ def fused_GeGo(op, t, alm, interpret=False, mt=128, rt=128, lb=128):
         bb = n_l  # single band: the override never fires after block 0
         ckT = jnp.zeros((1, 2, Mp, Rp), jnp.float32)
 
-    am = jnp.transpose(planes, (2, 1, 0))              # [M, L, F2]
-    am = pad_to(pad_to(am, mt, 0), lb, 1)
+    am = pad_to(pad_to(planes, lb, 1), mt, 2)          # [F2, Lp, Mp]
     alm0_m = am[:, 0::2, :]
     alm1_m = am[:, 1::2, :]
 
@@ -300,9 +303,9 @@ def fused_GeGo(op, t, alm, interpret=False, mt=128, rt=128, lb=128):
         z, ckT, alm0_m, alm1_m,
         lb=lb, mt=mt, rt=rt, band_blocks=bb, interpret=interpret,
     )
-    # [M, R, F2] → [F2, R, M] → complex planes → parity → m routing
-    H0 = jnp.transpose(He, (2, 1, 0))[:, :nh, :L]
-    H1 = jnp.transpose(Ho, (2, 1, 0))[:, :nh, :L]
+    # [F2, R, M] complex planes → parity → m routing (no relayout)
+    H0 = He[:, :nh, :L]
+    H1 = Ho[:, :nh, :L]
     H0c = (H0[:B] + 1j * H0[B:]).reshape(batch + (nh, L))
     H1c = (H1[:B] + 1j * H1[B:]).reshape(batch + (nh, L))
     meven = (jnp.arange(L)[None, :] % 2 == 0).astype(jnp.float32)

@@ -116,8 +116,8 @@ def main():
             nb = min(nband_k, ck.shape[0])
             ckT[:nb, :, :L, :nh] = np.transpose(ck[:nb], (0, 1, 3, 2))
             F2 = fleg * 2
-            alm0 = jnp.full((Mp, Mp // 2, F2), 1e-6, jnp.float32)
-            alm1 = jnp.full((Mp, Mp // 2, F2), 1e-6, jnp.float32)
+            alm0 = jnp.full((F2, Mp // 2, Mp), 1e-6, jnp.float32)
+            alm1 = jnp.full((F2, Mp // 2, Mp), 1e-6, jnp.float32)
             args = [xfer.put(a) for a in
                     (rec_a, rec_b, lam_mm_T, k0_T, zp, ckT)]
 
