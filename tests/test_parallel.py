@@ -218,9 +218,11 @@ def test_synthesize_cube_sharded_2d(mesh_shape, fchunk):
 @pytest.mark.parametrize(
     "mesh_axes,freq_axis",
     [
-        ((("sim", 8),), None),
-        # the 2-D sim×freq variant re-compiles the whole program; slow
-        # tier (the 1-D case already proves the vmap-over-keys sharding)
+        # slow tier: the batched-sims sharding proofs cost an 18 s
+        # compile each on a 1-core box, and the driver-run dryrun plus
+        # test_synthesize_cube_sharded keep sharded synthesis equality
+        # in the default tier
+        pytest.param((("sim", 8),), None, marks=pytest.mark.slow),
         pytest.param(
             (("sim", 4), ("freq", 2)), "freq", marks=pytest.mark.slow
         ),

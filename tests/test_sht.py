@@ -627,6 +627,7 @@ def test_banded_cap_conv_matches_dense():
     assert np.abs(gs - gb).max() < 1e-12 * np.abs(gb).max()
 
 
+@pytest.mark.slow
 def test_pixel_layout_cg_analysis():
     """map2alm(method="cg") from HEALPix pixel ordering: machine-precision
     round trip for a band-limited map, matching the grid-layout CG."""
