@@ -1,0 +1,125 @@
+"""Hardware statistical validation of the fused Pallas scan path.
+
+Draws a correlated cube through the production fused path
+(synthesis_scan_correlated with scan_kernel="pallas") from a known
+C_l(z, z'), analyses the maps with the independent cached-mode engine,
+and checks per-ℓ recovery against cosmic variance — the same contract
+tests/test_skysim.py::test_mkfullsky_statistics applies to the XLA
+paths, here executed on the real accelerator through the kernel.
+
+Usage: python tools/pallas_cl_check.py [--nside 256] [--nz 8] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--nside", type=int, default=256)
+    p.add_argument("--nz", type=int, default=8)
+    p.add_argument("--lchunk", type=int, default=128)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from cora_tpu.healpix.sht import SHT, synthesis_scan_correlated
+    from cora_tpu.healpix import sht as S
+    from cora_tpu.util import xfer, linalg
+
+    nside, nz = args.nside, args.nz
+    lmax = 3 * nside - 1
+    L = lmax + 1
+    print(f"# device: {jax.devices()[0]}", file=sys.stderr)
+
+    # smooth red spectrum with strong inter-channel correlation
+    l = np.arange(L, dtype=np.float64)
+    cl = 1e-4 * (1.0 + l) ** -2.0
+    x = np.linspace(0.0, 1.0, nz)
+    fc = np.exp(-0.5 * ((x[:, None] - x[None, :]) / 0.3) ** 2)
+    cla = cl[:, None, None] * fc[None]
+    roots = np.asarray(
+        linalg.batch_matrix_root(jnp.asarray(cla, jnp.float64))
+    ).astype(np.float32)
+
+    kern = "xla" if args.cpu else "pallas"
+    op = SHT(nside, lmax, legendre_mode="scan", fft_mode="mm",
+             l_chunk=args.lchunk, scan_ckpt=True, ckpt_every=2,
+             scan_kernel=kern)
+    t = xfer.put_tree(op.tables(False))
+    if not args.cpu:
+        assert "psl_rec_a" in t, "fused tables missing"
+    roots_d = xfer.put(roots)
+
+    # collect the full dense ring-grid cube (small at this size)
+    nq = None
+
+    def run(key, r, tt):
+        out = jnp.zeros((nz, op.nring, nq), jnp.float32)
+
+        def consume(g, z0, acc):
+            return jax.lax.dynamic_update_slice(acc, g, (z0, 0, 0))
+
+        return synthesis_scan_correlated(op, tt, r, key, nz, nz, consume,
+                                         out)
+
+    if "bl_C" in t:
+        nq = int(np.asarray(t["bl_C"]).shape[-1])
+    else:  # split ring mode: equatorial width / cap conv width
+        nq = max(4 * nside, int(np.asarray(t["bl_C_cap"]).shape[-1]))
+    fn = jax.jit(run)
+    t0 = time.time()
+    cube = np.asarray(fn(jax.random.key(3, impl="rbg"), roots_d, t))
+    print(f"# cube drawn via fused path: {time.time()-t0:.1f}s "
+          f"shape={cube.shape}", file=sys.stderr)
+
+    # independent analysis: cached-mode grid analysis per channel
+    op_a = SHT(nside, lmax, legendre_mode="cached", fft_mode="mm",
+               l_chunk=64, lambda_build="device")
+    ta = xfer.put_tree(op_a.tables(False))
+
+    alm = np.asarray(S._analysis_grid_jit(op_a, ta, jnp.asarray(cube), 3))
+    prod = np.abs(alm) ** 2
+    cl_hat = (prod[..., 0] + 2.0 * prod[..., 1:].sum(axis=-1)) / (
+        2.0 * l[None, :] + 1.0
+    )  # [nz, L]
+
+    # per-ℓ χ² of the auto spectra in a clean band (quadrature-exact
+    # ℓ range, away from the analysis corner band)
+    sel = (l >= 8) & (l <= 2 * nside)
+    nsel = int(sel.sum())
+    ratio = cl_hat[:, sel] / cl[None, sel]
+    # Var(ĉ_l/c_l) = 2/(2l+1) per channel
+    zscores = (ratio - 1.0) / np.sqrt(2.0 / (2.0 * l[None, sel] + 1.0))
+    z_mean = float(zscores.mean())
+    z_std = float(zscores.std())
+    worst = float(np.abs(zscores).max())
+    print(f"# per-ell z-scores over {nz}x{nsel}: mean {z_mean:+.3f} "
+          f"std {z_std:.3f} |max| {worst:.2f}", file=sys.stderr)
+
+    # channels are strongly correlated (fc width 0.3): the mean has
+    # ~2-3 effective independent channels, not nz
+    ok = abs(z_mean) < 0.12 and 0.85 < z_std < 1.15 and worst < 6.0
+    print(json.dumps({
+        "nside": nside, "nz": nz, "z_mean": round(z_mean, 4),
+        "z_std": round(z_std, 4), "z_absmax": round(worst, 2),
+        "pass": bool(ok),
+    }))
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
