@@ -37,7 +37,7 @@ def main():
 
     from cora_tpu.healpix.sht import SHT, synthesis_scan_correlated
     from cora_tpu.healpix import sht as S
-    from cora_tpu.util import xfer, linalg
+    from cora_tpu.util import xfer
 
     nside, nz = args.nside, args.nz
     lmax = 3 * nside - 1
@@ -50,9 +50,9 @@ def main():
     x = np.linspace(0.0, 1.0, nz)
     fc = np.exp(-0.5 * ((x[:, None] - x[None, :]) / 0.3) ** 2)
     cla = cl[:, None, None] * fc[None]
-    roots = np.asarray(
-        linalg.batch_matrix_root(jnp.asarray(cla, jnp.float64))
-    ).astype(np.float32)
+    from cora_tpu.core.skysim import host_covariance_roots
+
+    roots = host_covariance_roots(cla).astype(np.float32)
 
     kern = "xla" if args.cpu else "pallas"
     op = SHT(nside, lmax, legendre_mode="scan", fft_mode="mm",
@@ -75,10 +75,10 @@ def main():
         return synthesis_scan_correlated(op, tt, r, key, nz, nz, consume,
                                          out)
 
-    if "bl_C" in t:
-        nq = int(np.asarray(t["bl_C"]).shape[-1])
+    if "bl_C" in t:  # shapes are metadata — no D2H fetch
+        nq = int(t["bl_C"].shape[-1])
     else:  # split ring mode: equatorial width / cap conv width
-        nq = max(4 * nside, int(np.asarray(t["bl_C_cap"]).shape[-1]))
+        nq = max(4 * nside, int(t["bl_C_cap"].shape[-1]))
     fn = jax.jit(run)
     t0 = time.time()
     cube = np.asarray(fn(jax.random.key(3, impl="rbg"), roots_d, t))
@@ -90,7 +90,7 @@ def main():
                l_chunk=64, lambda_build="device")
     ta = xfer.put_tree(op_a.tables(False))
 
-    alm = np.asarray(S._analysis_grid_jit(op_a, ta, jnp.asarray(cube), 3))
+    alm = xfer.get(S._analysis_grid_jit(op_a, ta, jnp.asarray(cube), 3))
     prod = np.abs(alm) ** 2
     cl_hat = (prod[..., 0] + 2.0 * prod[..., 1:].sum(axis=-1)) / (
         2.0 * l[None, :] + 1.0
