@@ -1014,10 +1014,65 @@ def _legendre_contract_scan(op, t, alm):
     )
 
 
+def _fused_scan_project(op, t, G, interpret=False):
+    """_legendre_project_scan through the fused adjoint Pallas kernel.
+
+    Same λ semantics as the synthesis kernel; the (l+m)-parity source
+    masks collapse per ℓ-row parity into two fixed mixes (even rows see
+    Ge on even m / Go on odd m; odd rows the complement).
+    """
+    from ..ops.pallas_scan_legendre import scan_project_fused
+
+    L = op.lmax + 1
+    nh = op.nhalf
+    is_cplx = jnp.iscomplexobj(G)
+    if is_cplx:
+        G = jnp.stack([G.real, G.imag], axis=-3)
+
+    Gn = G[..., :nh, :]
+    Gs = G[..., nh:, :]
+    Ge = Gn.at[..., t["south_idx"], :].add(Gs)
+    Go = Gn.at[..., t["south_idx"], :].add(-Gs)
+
+    lead = Ge.shape[:-2]
+    F2 = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    Ge = Ge.reshape(F2, nh, L).astype(jnp.float32)
+    Go = Go.reshape(F2, nh, L).astype(jnp.float32)
+    meven = jnp.arange(L)[None, None, :] % 2 == 0
+    src0 = jnp.where(meven, Ge, Go)
+    src1 = jnp.where(meven, Go, Ge)
+
+    Lp, Mp = t["psl_rec_a"].shape
+    Rp = t["psl_z"].shape[0]
+    pads = ((0, 0), (0, Rp - nh), (0, Mp - L))
+    src0 = jnp.pad(src0, pads)
+    src1 = jnp.pad(src1, pads)
+
+    bb = max(1, (op.l_chunk * op.ckpt_every) // 128)
+    alm0, alm1 = scan_project_fused(
+        t["psl_rec_a"], t["psl_rec_b"], t["psl_seed"], t["psl_k0"],
+        t["psl_z"], t["psl_ck"], src0, src1,
+        lb=128, mt=128, rt=128, band_blocks=bb, interpret=interpret,
+    )
+    # interleave even/odd ℓ rows and trim the padding
+    alm = jnp.stack([alm0, alm1], axis=2).reshape(F2, Lp, Mp)[:, :L, :L]
+    alm = alm.reshape(lead + (L, L))
+    if is_cplx:
+        alm = _join_planes(alm)
+    return alm
+
+
 def _legendre_project_scan(op, t, G):
     """Adjoint of the scan-mode contraction."""
     L = op.lmax + 1
     nh = op.nhalf
+
+    if (
+        "psl_rec_a" in t
+        and t["z_half"].shape[0] == 2 * op.nside
+        and G.dtype in (jnp.complex64, jnp.float32)
+    ):
+        return _fused_scan_project(op, t, G)
 
     # split re/im planes → real-only einsums (see _legendre_contract_cached)
     is_cplx = jnp.iscomplexobj(G)

@@ -312,3 +312,189 @@ def fused_GeGo(op, t, alm, interpret=False, mt=128, rt=128, lb=128):
     Ge = H0c * meven + H1c * (1.0 - meven)
     Go = H0c * (1.0 - meven) + H1c * meven
     return Ge, Go
+
+
+def _adj_kernel(rec_ab_ref, seed_ref, k0_ref, z_ref, ck_ref,
+                src0_ref, src1_ref, alm0_ref, alm1_ref,
+                lam_p_all, lam_pp_all, k_all, scr0, scr1,
+                *, lb, band_blocks, n_l, use_ck):
+    """Adjoint grid step (i_m, i_l, i_r — r innermost).
+
+    The projection alm[l, m] = Σ_r λ_l[r, m]·src[r, m] accumulates the
+    (l, m) output block across ring tiles, so r must be the innermost
+    grid dimension; the recurrence carry is per ring-tile and lives in
+    slot i_r of the [NR, MT, RT] scratch arrays.
+    src0/src1: the even/odd-ℓ source mixes (Ge·meven + Go·modd and its
+    complement — reference semantics: sht._legendre_project_scan's
+    (l+m)-parity masks collapsed per ℓ-row parity).
+    """
+    i_m = pl.program_id(0)
+    i_l = pl.program_id(1)
+    i_r = pl.program_id(2)
+    mt = seed_ref.shape[0]
+    lbe = lb // 2
+
+    l0 = i_l * lb
+    m0 = i_m * mt
+
+    @pl.when(i_l == 0)
+    def _init_carry():
+        lam_p_all[pl.ds(i_r, 1)] = jnp.zeros_like(lam_p_all[pl.ds(i_r, 1)])
+        lam_pp_all[pl.ds(i_r, 1)] = jnp.zeros_like(
+            lam_pp_all[pl.ds(i_r, 1)]
+        )
+        k_all[pl.ds(i_r, 1)] = jnp.zeros_like(k_all[pl.ds(i_r, 1)])
+
+    @pl.when(i_r == 0)
+    def _init_out():
+        alm0_ref[:] = jnp.zeros_like(alm0_ref)
+        alm1_ref[:] = jnp.zeros_like(alm1_ref)
+
+    if use_ck:
+        @pl.when((i_l % band_blocks == 0) & (i_l > 0))
+        def _ck():
+            c0 = ck_ref[0, 0]
+            c1 = ck_ref[0, 1]
+            use = (jnp.abs(c0) > _CK_USE_TH) & (jnp.abs(c1) > _CK_USE_TH)
+            lam_pp_all[pl.ds(i_r, 1)] = jnp.where(
+                use, c0, lam_pp_all[i_r]
+            )[None]
+            lam_p_all[pl.ds(i_r, 1)] = jnp.where(
+                use, c1, lam_p_all[i_r]
+            )[None]
+            k_all[pl.ds(i_r, 1)] = jnp.where(
+                use, jnp.zeros_like(k_all[i_r]), k_all[i_r]
+            )[None]
+
+    @pl.when(l0 + lb > m0)
+    def _work():
+        z = z_ref[0, :][None, :]
+        m_ids = m0 + jax.lax.broadcasted_iota(jnp.int32, (mt, 1), 0)
+        thresh = jnp.float32(2.0**_SCALE_BETA)
+        down = jnp.float32(2.0**-_SCALE_S)
+
+        def pair(le, c):
+            lp, lpp, k = c
+            l_even = l0 + 2 * le
+            ab = rec_ab_ref[:, pl.ds(2 * le, 2), :]
+
+            def one_row(l_row, a_row, b_row, lp, lpp, k):
+                lam = a_row[:, None] * (z * lp) + b_row[:, None] * lpp
+                at_seed = m_ids == l_row
+                lam = jnp.where(at_seed, seed_ref[:], lam)
+                k = jnp.where(at_seed, k0_ref[:], k)
+                out = jnp.where(k == 0.0, lam, 0.0)
+                return lam, lp, k, out
+
+            lp, lpp, k, out_e = one_row(l_even, ab[0, 0], ab[1, 0],
+                                        lp, lpp, k)
+            lp, lpp, k, out_o = one_row(l_even + 1, ab[0, 1], ab[1, 1],
+                                        lp, lpp, k)
+            grow = (jnp.abs(lp) > thresh) & (k > 0.0)
+            lp = jnp.where(grow, lp * down, lp)
+            lpp = jnp.where(grow, lpp * down, lpp)
+            k = jnp.where(grow, k - 1.0, k)
+            scr0[pl.ds(le, 1)] = out_e[None]
+            scr1[pl.ds(le, 1)] = out_o[None]
+            return (lp, lpp, k)
+
+        lp, lpp, k = jax.lax.fori_loop(
+            0, lbe, pair,
+            (lam_p_all[i_r], lam_pp_all[i_r], k_all[i_r]),
+        )
+        lam_p_all[pl.ds(i_r, 1)] = lp[None]
+        lam_pp_all[pl.ds(i_r, 1)] = lpp[None]
+        k_all[pl.ds(i_r, 1)] = k[None]
+
+        # [MT, LBe, RT] λ · [MT, RT, F2] src → [MT, LBe, F2]
+        lam0 = jnp.transpose(scr0[:], (1, 0, 2))
+        lam1 = jnp.transpose(scr1[:], (1, 0, 2))
+        dn = (((2,), (1,)), ((0,), (0,)))
+        y0 = jax.lax.dot_general(
+            lam0, jnp.transpose(src0_ref[:], (2, 1, 0)),
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        y1 = jax.lax.dot_general(
+            lam1, jnp.transpose(src1_ref[:], (2, 1, 0)),
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        alm0_ref[:] += jnp.transpose(y0, (2, 1, 0))    # [F2, LBe, MT]
+        alm1_ref[:] += jnp.transpose(y1, (2, 1, 0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lb", "mt", "rt", "band_blocks", "interpret"),
+)
+def scan_project_fused(rec_a, rec_b, lam_mm_T, k0_T, z, ck_T,
+                       src0, src1, *, lb=128, mt=128, rt=128,
+                       band_blocks=2, interpret=False):
+    """Fused scan-Legendre PROJECTION (the analysis adjoint).
+
+    src0, src1 : [F2, R, M] even/odd-ℓ source mixes (f32 planes).
+    Returns (alm0, alm1) [F2, L//2, M] — the even/odd-ℓ alm rows.
+    Other tables as :func:`scan_contract_fused`.
+    """
+    L, M = rec_a.shape
+    R = z.shape[0]
+    F2 = src0.shape[0]
+    if L % lb or M % mt or R % rt or lb % 2:
+        raise ValueError("shape/tile mismatch")
+    n_l = L // lb
+    n_r = R // rt
+
+    rec_ab = jnp.stack([rec_a, rec_b])
+    z2 = z.reshape(1, R)
+    lbe = lb // 2
+    use_ck = ck_T.shape[0] > 1
+    if not use_ck:
+        ck_T = jnp.zeros((1, 2, mt, rt), jnp.float32)
+
+    grid = (M // mt, n_l, n_r)
+
+    return pl.pallas_call(
+        functools.partial(
+            _adj_kernel, lb=lb, band_blocks=band_blocks, n_l=n_l,
+            use_ck=use_ck,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, lb, mt), lambda m, l, r: (0, l, m)),
+            pl.BlockSpec((mt, rt), lambda m, l, r: (m, r)),
+            pl.BlockSpec((mt, rt), lambda m, l, r: (m, r)),
+            pl.BlockSpec((1, rt), lambda m, l, r: (0, r)),
+            pl.BlockSpec(
+                (1, 2, mt, rt),
+                (lambda m, l, r, bb=band_blocks: (l // bb, 0, m, r))
+                if use_ck else (lambda m, l, r: (0, 0, 0, 0)),
+            ),
+            pl.BlockSpec((F2, rt, mt), lambda m, l, r: (0, r, m)),
+            pl.BlockSpec((F2, rt, mt), lambda m, l, r: (0, r, m)),
+        ],
+        out_specs=[
+            pl.BlockSpec((F2, lbe, mt), lambda m, l, r: (0, l, m)),
+            pl.BlockSpec((F2, lbe, mt), lambda m, l, r: (0, l, m)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((F2, L // 2, M), jnp.float32),
+            jax.ShapeDtypeStruct((F2, L // 2, M), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_r, mt, rt), jnp.float32),
+            pltpu.VMEM((n_r, mt, rt), jnp.float32),
+            pltpu.VMEM((n_r, mt, rt), jnp.float32),
+            pltpu.VMEM((lbe, mt, rt), jnp.float32),
+            pltpu.VMEM((lbe, mt, rt), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * F2 * L * R * M // 2,
+            bytes_accessed=4 * (2 * M * R * F2 + M * L * F2),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(rec_ab, lam_mm_T, k0_T, z2, ck_T, src0, src1)

@@ -195,3 +195,45 @@ def _materialise_alm(op, roots, key, nz):
                 blk[:, :, 0] + 1j * blk[:, :, 1]
             )[..., :L if mw > L else mw]
     return jnp.asarray(out)
+
+
+@pytest.mark.slow
+def test_fused_scan_project_matches_xla():
+    """The fused adjoint kernel (scan_project_fused via
+    _fused_scan_project) must match the XLA _legendre_project_scan on
+    the same ring spectra — the analysis-side twin of the synthesis
+    kernel equality test."""
+    from cora_tpu.healpix.sht import (
+        SHT, _legendre_project_scan, _fused_scan_project,
+    )
+
+    nside = 64
+    lmax = 191
+    L = lmax + 1
+    op_x = SHT(nside, lmax, l_chunk=128, legendre_mode="scan",
+               scan_ckpt=True, ckpt_every=1, fft_mode="mm",
+               scan_kernel="xla")
+    op_p = SHT(nside, lmax, l_chunk=128, legendre_mode="scan",
+               scan_ckpt=True, ckpt_every=1, fft_mode="mm",
+               scan_kernel="pallas")
+    t_x = op_x.tables(False)
+    t_p = op_p.tables(False)
+
+    rng = np.random.RandomState(4)
+    G = jnp.asarray(
+        (rng.randn(2, op_x.nring, L)
+         + 1j * rng.randn(2, op_x.nring, L)).astype(np.complex64)
+    )
+
+    a_x = _legendre_project_scan(op_x, t_x, G)
+    a_p = _fused_scan_project(op_p, t_p, G, interpret=True)
+    assert a_p.shape == a_x.shape
+    sc = float(jnp.max(jnp.abs(a_x)))
+    assert float(jnp.max(jnp.abs(a_p - a_x))) < 1e-4 * sc
+
+    # real-input path (f32 planes caller)
+    Gr = jnp.asarray(rng.randn(op_x.nring, L).astype(np.float32))
+    ar_x = _legendre_project_scan(op_x, t_x, Gr)
+    ar_p = _fused_scan_project(op_p, t_p, Gr, interpret=True)
+    scr = float(jnp.max(jnp.abs(ar_x)))
+    assert float(jnp.max(jnp.abs(ar_p - ar_x))) < 1e-4 * scr
