@@ -498,3 +498,177 @@ def scan_project_fused(rec_a, rec_b, lam_mm_T, k0_T, z, ck_T,
         ),
         interpret=interpret,
     )(rec_ab, lam_mm_T, k0_T, z2, ck_T, src0, src1)
+
+
+# ---------------------------------------------------------------------------
+# Spin-weighted (Wigner-d) fused kernels
+#
+# The spin engine's recurrence (cora_tpu/healpix/spin.py)
+#     d^l = A_l (z − B_l) d^{l−1} + C_l d^{l−2},  seeded at l0 = max(|m|,|s|)
+# is the scalar kernel's form with one extra shift coefficient, no
+# parity decoupling, and no power-of-two rescaling (seeds below f32 tiny
+# truncate to zero, matching the XLA scan semantics).  The emitted rows
+# carry the (−1)^m · sqrt((2l+1)/4π) normalisation, computed in-kernel.
+# ---------------------------------------------------------------------------
+
+
+def _wig_kernel(coef_ref, seed_ref, l0_ref, z_ref, alm_ref, g_ref,
+                lam_p, lam_pp, scr, *, lb, n_l, adjoint):
+    """One (i_m, i_r, i_l) [synthesis] or (i_m, i_l, i_r) [adjoint] step.
+
+    coef_ref: [3, LB, MT]  A/B/C recurrence rows
+    seed_ref, l0_ref: [MT, RT]  seed values / seed row indices (per m)
+    alm_ref: [F2, LB, MT] (synthesis) — a_lm planes, m minor
+             [F2, RT, MT] (adjoint)   — ring-spectrum planes
+    g_ref:   [F2, RT, MT] (synthesis) / [F2, LB, MT] (adjoint) — output,
+             accumulated across the inner grid dimension
+    lam_p/lam_pp: [MT, RT] (synthesis) or [NR, MT, RT] (adjoint slots)
+    """
+    i_m = pl.program_id(0)
+    if adjoint:
+        i_l, i_r = pl.program_id(1), pl.program_id(2)
+    else:
+        i_r, i_l = pl.program_id(1), pl.program_id(2)
+    mt = seed_ref.shape[0]
+
+    l0blk = i_l * lb
+    m0 = i_m * mt
+
+    @pl.when(i_l == 0)
+    def _init_carry():
+        if adjoint:
+            lam_p[pl.ds(i_r, 1)] = jnp.zeros_like(lam_p[pl.ds(i_r, 1)])
+            lam_pp[pl.ds(i_r, 1)] = jnp.zeros_like(lam_pp[pl.ds(i_r, 1)])
+        else:
+            lam_p[:] = jnp.zeros_like(lam_p)
+            lam_pp[:] = jnp.zeros_like(lam_pp)
+
+    first_out = i_r == 0 if adjoint else i_l == 0
+
+    @pl.when(first_out)
+    def _init_out():
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    # row l of this block seeds columns with l0 == l; blocks entirely
+    # before every column's seed row are identically zero.  l0 >= |m|,
+    # so m0 is a lower bound for the tile's seeds.
+    @pl.when(l0blk + lb > m0)
+    def _work():
+        z = z_ref[0, :][None, :]
+        inv4pi = jnp.float32(1.0 / (4.0 * np.pi))
+        sign_m = 1.0 - 2.0 * jnp.asarray(
+            (m0 + jax.lax.broadcasted_iota(jnp.int32, (mt, 1), 0)) % 2,
+            jnp.float32,
+        )
+
+        def row(le, c):
+            lp, lpp = c
+            l_row = l0blk + le
+            co = coef_ref[:, pl.ds(le, 1), :][:, 0, :]   # [3, MT]
+            lam = (
+                co[0][:, None] * (z - co[1][:, None]) * lp
+                + co[2][:, None] * lpp
+            )
+            at_seed = l0_ref[:] == l_row
+            lam = jnp.where(at_seed, seed_ref[:], lam)
+            nrm = jnp.sqrt(
+                (2.0 * jnp.asarray(l_row, jnp.float32) + 1.0) * inv4pi
+            )
+            scr[pl.ds(le, 1)] = (lam * (nrm * sign_m))[None]
+            return (lam, lp)
+
+        if adjoint:
+            lp, lpp = jax.lax.fori_loop(
+                0, lb, row, (lam_p[i_r], lam_pp[i_r])
+            )
+            lam_p[pl.ds(i_r, 1)] = lp[None]
+            lam_pp[pl.ds(i_r, 1)] = lpp[None]
+        else:
+            lp, lpp = jax.lax.fori_loop(0, lb, row, (lam_p[:], lam_pp[:]))
+            lam_p[:] = lp
+            lam_pp[:] = lpp
+
+        lam_b = jnp.transpose(scr[:], (1, 0, 2))         # [MT, LB, RT]
+        dn = (((2,), (1,)), ((0,), (0,)))
+        if adjoint:
+            # alm[l, m] += Σ_r λ·G: [MT, LB, RT]·[MT, RT, F2]
+            y = jax.lax.dot_general(
+                lam_b, jnp.transpose(alm_ref[:], (2, 1, 0)),
+                dimension_numbers=dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                            # [MT, LB, F2]
+            g_ref[:] += jnp.transpose(y, (2, 1, 0))
+        else:
+            # G[r, m] += Σ_l a·λ: [MT, F2, LB]·[MT, LB, RT]
+            y = jax.lax.dot_general(
+                jnp.transpose(alm_ref[:], (2, 0, 1)), lam_b,
+                dimension_numbers=dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                            # [MT, F2, RT]
+            g_ref[:] += jnp.transpose(y, (1, 2, 0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lb", "mt", "rt", "adjoint", "interpret"),
+)
+def wigner_apply_fused(coefs, seed_T, l0_T, z, x, *, lb=128, mt=128,
+                       rt=128, adjoint=False, interpret=False):
+    """Fused Wigner-d generate-and-contract (spin-weighted SHT stage).
+
+    coefs : [3, L, M]  A/B-shift/C recurrence rows (zero where invalid).
+    seed_T, l0_T : [M, R]  seed values / integer seed rows (as f32/i32).
+    z : [R] cosθ.
+    x : synthesis [F2, L, M] a_lm planes → returns G [F2, R, M];
+        adjoint   [F2, R, M] ring planes → returns alm [F2, L, M].
+    The (−1)^m sqrt((2l+1)/4π) normalisation is applied in-kernel.
+    """
+    _, L, M = coefs.shape
+    R = z.shape[0]
+    F2 = x.shape[0]
+    if L % lb or M % mt or R % rt:
+        raise ValueError("shape/tile mismatch")
+    n_l = L // lb
+    n_r = R // rt
+    z2 = z.reshape(1, R)
+
+    if adjoint:
+        grid = (M // mt, n_l, n_r)
+        x_spec = pl.BlockSpec((F2, rt, mt), lambda m, l, r: (0, r, m))
+        out_spec = pl.BlockSpec((F2, lb, mt), lambda m, l, r: (0, l, m))
+        out_shape = jax.ShapeDtypeStruct((F2, L, M), jnp.float32)
+        coef_spec = pl.BlockSpec((3, lb, mt), lambda m, l, r: (0, l, m))
+        mr_spec = pl.BlockSpec((mt, rt), lambda m, l, r: (m, r))
+        z_spec = pl.BlockSpec((1, rt), lambda m, l, r: (0, r))
+        carry_shape = (n_r, mt, rt)
+    else:
+        grid = (M // mt, n_r, n_l)
+        x_spec = pl.BlockSpec((F2, lb, mt), lambda m, r, l: (0, l, m))
+        out_spec = pl.BlockSpec((F2, rt, mt), lambda m, r, l: (0, r, m))
+        out_shape = jax.ShapeDtypeStruct((F2, R, M), jnp.float32)
+        coef_spec = pl.BlockSpec((3, lb, mt), lambda m, r, l: (0, l, m))
+        mr_spec = pl.BlockSpec((mt, rt), lambda m, r, l: (m, r))
+        z_spec = pl.BlockSpec((1, rt), lambda m, r, l: (0, r))
+        carry_shape = (mt, rt)
+
+    return pl.pallas_call(
+        functools.partial(_wig_kernel, lb=lb, n_l=n_l, adjoint=adjoint),
+        grid=grid,
+        in_specs=[coef_spec, mr_spec, mr_spec, z_spec, x_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM(carry_shape, jnp.float32),
+            pltpu.VMEM(carry_shape, jnp.float32),
+            pltpu.VMEM((lb, mt, rt), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * F2 * L * R * M // 2,
+            bytes_accessed=4 * (M * L * F2 + M * R * F2),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(coefs, seed_T, l0_T.astype(jnp.int32), z2, x)

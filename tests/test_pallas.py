@@ -237,3 +237,43 @@ def test_fused_scan_project_matches_xla():
     ar_p = _fused_scan_project(op_p, t_p, Gr, interpret=True)
     scr = float(jnp.max(jnp.abs(ar_x)))
     assert float(jnp.max(jnp.abs(ar_p - ar_x))) < 1e-4 * scr
+
+
+@pytest.mark.slow
+def test_fused_wigner_matches_xla():
+    """The fused Wigner kernel (wigner_apply_fused, both directions)
+    matches the XLA spin-scan contraction/projection for both spin
+    families, within the f32 class (the CPU XLA reference runs f64
+    under the suite's x64 config)."""
+    from cora_tpu.healpix.spin import SpinSHT
+
+    nside, lmax = 64, 191
+    L = lmax + 1
+    sop = SpinSHT(nside, lmax, 2, l_chunk=64, legendre_mode="scan")
+    assert not sop._use_fused  # CPU: XLA default stays
+    nh = 2 * nside
+
+    rng = np.random.RandomState(6)
+    alm = jnp.asarray(
+        ((rng.randn(2, L, L) + 1j * rng.randn(2, L, L))
+         * (np.arange(L)[None, None, :] <= np.arange(L)[None, :, None])
+         ).astype(np.complex64)
+    )
+    G = jnp.asarray(
+        (rng.randn(2, nh, L) + 1j * rng.randn(2, nh, L)).astype(
+            np.complex64
+        )
+    )
+
+    for sp in (2, -2):
+        ref = sop._contract({}, alm, sp)
+        got = sop._contract_fused(alm, sp, interpret=True)
+        sc = float(jnp.max(jnp.abs(ref)))
+        d = float(jnp.max(jnp.abs(got - ref.astype(got.dtype))))
+        assert d < 2e-4 * sc, (sp, d / sc)
+
+        ref_a = sop._project({}, G, sp)
+        got_a = sop._project_fused(G, sp, interpret=True)
+        sca = float(jnp.max(jnp.abs(ref_a)))
+        da = float(jnp.max(jnp.abs(got_a - ref_a.astype(got_a.dtype))))
+        assert da < 2e-4 * sca, (sp, da / sca)
