@@ -2279,11 +2279,14 @@ class SHT:
                  or (self.l_chunk * self.ckpt_every) % 128 == 0)
         )
         if scan_kernel == "auto":
-            try:
-                on_acc = jax.default_backend() != "cpu"
-            except Exception:  # pragma: no cover
-                on_acc = False
-            scan_kernel = "pallas" if (on_acc and fits) else "xla"
+            # construction-time placement (get_sht caches a separate op
+            # per placement): an op built for the CPU model device inside
+            # a TPU process must never enable the Pallas kernel
+            from ..util.compute import placement_on_cpu
+
+            scan_kernel = (
+                "pallas" if (not placement_on_cpu() and fits) else "xla"
+            )
         elif scan_kernel == "pallas" and not fits:
             raise ValueError(
                 "scan_kernel='pallas' needs 2·nside % 128 == 0 and the "
@@ -2612,7 +2615,16 @@ class SHT:
                 # f32 only: overriding an exact f64 recurrence with
                 # f32-cast rows would degrade the double path
                 t["lam_ck"] = put(self._ck_host)
-            if self.scan_kernel == "pallas" and fdt == np.float32:
+            # placement gate, not just capability: the table pytree is
+            # per-placement (see tables()), and the fused path is
+            # presence-selected, so omitting the psl_ tables under a CPU
+            # placement (model_device scope in a TPU process) routes
+            # those calls to the XLA scan instead of an unlowerable
+            # Pallas kernel
+            from ..util.compute import placement_on_cpu
+
+            if (self.scan_kernel == "pallas" and fdt == np.float32
+                    and not placement_on_cpu()):
                 for k_, v in self._fused_scan_tables(seeds, k0).items():
                     t[k_] = put(v)
         return t

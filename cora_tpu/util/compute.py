@@ -25,6 +25,26 @@ def model_device():
         yield
 
 
+def placement_on_cpu() -> bool:
+    """True when ops dispatched *right now* land on the host CPU device.
+
+    Distinct from ``jax.default_backend() == "cpu"``: inside a TPU
+    process a ``model_device()`` (``jax.default_device``) scope routes
+    ops to the in-process CPU device while the default backend stays the
+    accelerator.  Pallas TPU kernels cannot lower there ("Only interpret
+    mode is supported on CPU backend"), so every kernel-vs-XLA selection
+    must consult the placement, not the backend (the galaxy model path
+    crashed exactly this way — mkconstrained's host map2alm picking the
+    fused adjoint inside a TPU process)."""
+    try:
+        if jax.default_backend() == "cpu":
+            return True
+        dd = jax.config.jax_default_device
+        return dd is not None and getattr(dd, "platform", None) == "cpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
 @contextlib.contextmanager
 def accel_device():
     """Context: escape a :func:`model_device` region back onto the

@@ -277,3 +277,47 @@ def test_fused_wigner_matches_xla():
         sca = float(jnp.max(jnp.abs(ref_a)))
         da = float(jnp.max(jnp.abs(got_a - ref_a.astype(got_a.dtype))))
         assert da < 2e-4 * sca, (sp, da / sca)
+
+
+def test_cpu_placement_disables_fused_kernels():
+    """A CPU-placed call inside an accelerator process must never select
+    a Pallas kernel (they only lower on TPU backends).  Regression: in a
+    TPU process, ConstrainedGalaxy.getsky -> mkconstrained -> map2alm ran
+    under the model_device (CPU) scope but the scan-mode op still carried
+    the fused-kernel tables, crashing at lowering with "Only interpret
+    mode is supported on CPU backend".  The gate is placement-aware, so
+    on this CPU-only tier it must hold even for scan_kernel="pallas"."""
+    from cora_tpu.healpix.sht import SHT
+    from cora_tpu.healpix.spin import SpinSHT
+    from cora_tpu.util.compute import model_device, placement_on_cpu
+
+    with model_device():
+        assert placement_on_cpu()
+
+        # force-enable the kernel capability (nside=64 tiles into the
+        # kernel's 128-blocks); the *placement* gate must still keep the
+        # fused tables out of the CPU table pytree
+        op = SHT(64, 191, fft_mode="mm", legendre_mode="scan",
+                 l_chunk=64, scan_ckpt=True, ckpt_every=2,
+                 scan_kernel="pallas")
+        t = op.tables(False)
+        assert "psl_rec_a" not in t
+
+        # auto resolution under CPU placement lands on the XLA scan even
+        # where the geometry fits the kernel
+        op2 = SHT(16, 47, fft_mode="mm", legendre_mode="scan",
+                  l_chunk=8, scan_ckpt=True, ckpt_every=2,
+                  scan_kernel="auto")
+        assert op2.scan_kernel == "xla"
+        assert op.tables(False) is t  # placement-keyed cache holds
+
+        # the full analysis path (the call that crashed) runs clean
+        rng = np.random.default_rng(3)
+        fmap = rng.standard_normal((2, 12 * 16 * 16))
+        alm = op2.analysis(jnp.asarray(fmap, jnp.float32), iter=1)
+        assert np.all(np.isfinite(np.asarray(alm)))
+
+        # spin twin: CPU-placed tables carry no fused-kernel entries
+        sop = SpinSHT(16, 47, 2, l_chunk=8, legendre_mode="scan")
+        st = sop.tables(False)
+        assert "psl" not in st
