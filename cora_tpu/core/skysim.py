@@ -349,23 +349,58 @@ def mkconstrained(corr, constraints, nside, key=None):
         raise ValueError("Correlation matrix is incorrect shape.")
 
     # Batched eigendecomposition over ell: largest nmodes eigenvectors.
+    # Always f64 on host — the mode selection is the numerically
+    # sensitive part.
     evals, evecs = np.linalg.eigh(corr)  # [L, nz, nz]
     trans = np.swapaxes(evecs[:, :, -nmodes:], 1, 2)  # [L, nmodes, nz]
     tmat = trans[:, :, f_ind]  # [L, nmodes, nmodes]
 
-    # Constraint maps into harmonic space (batched analysis).
-    cons_maps = np.stack([np.asarray(c[1], dtype=np.float64) for c in constraints])
-    calm = np.asarray(_sht.map2alm(jnp.asarray(cons_maps), maxl, 3))  # [nm, l, m]
+    # Constraint maps into harmonic space (batched analysis).  The SHT
+    # legs follow the constraint maps' dtype: float32 inputs run the
+    # f32 transform pair — the device-safe precision on accelerator
+    # placements, and ample for constraining a *random realisation*
+    # (the reference's f64 healpy analysis is a precision choice, not a
+    # statistical requirement).
+    in_dt = np.result_type(*(np.asarray(c[1]).dtype for c in constraints))
+    sht_dt = np.float32 if in_dt == np.float32 else np.float64
+    cons_maps = np.stack([np.asarray(c[1], dtype=sht_dt) for c in constraints])
+    # xfer shims: the tunnelled TPU runtime cannot move complex buffers
+    # host<->device directly
+    calm = xfer_get(_sht.map2alm(jnp.asarray(cons_maps), maxl, 3))  # [nm, l, m]
 
-    # Solve tmat[l].T x = calm[:, l, m] per ell, project: cv = trans.T @ x
-    # (l = 0 is zeroed as in the reference.)
+    # Solve tmat[l].T x = calm[:, l, m] for every ell at once, project
+    # cv = trans.T @ x (l = 0 zeroed as in the reference).
+    x = np.linalg.solve(
+        np.swapaxes(tmat[1:], 1, 2),
+        calm.transpose(1, 0, 2)[1:].astype(np.complex128),
+    )  # [L-1, nmodes, m]  (ell=0 excluded: its mode matrix can be singular)
     cv = np.zeros((numz, maxl + 1, maxl + 1), dtype=np.complex128)
-    for l in range(1, maxl + 1):
-        x = np.linalg.solve(tmat[l].T, calm[:, l, :])  # [nmodes, m]
-        cv[:, l, :] = trans[l].T @ x  # [nz, m]
+    cv[:, 1:, :] = np.einsum("lnz,lnm->zlm", trans[1:], x)
+    cv = cv.astype(np.complex64 if sht_dt == np.float32 else np.complex128)
 
     # zero m > l already guaranteed by calm structure
-    return np.asarray(_sht.alm2map(jnp.asarray(cv), nside))
+    from ..util.xfer import put as xfer_put
+
+    return np.asarray(_sht.alm2map(xfer_put(cv), nside))
+
+
+def _synth_corr_jit():
+    """Module-cached jit of sht.synthesis_grid_correlated.
+
+    One wrapper for the whole process so repeat mkfullsky calls on the
+    same operator hit the trace cache instead of re-tracing (a fresh
+    ``jax.jit`` object per call has an empty cache even when the
+    underlying compile is XLA-cache-warm)."""
+    global _SYNTH_CORR_JIT
+    try:
+        return _SYNTH_CORR_JIT
+    except NameError:
+        from ..healpix.sht import synthesis_grid_correlated
+
+        _SYNTH_CORR_JIT = jax.jit(
+            synthesis_grid_correlated, static_argnums=(0, 5)
+        )
+        return _SYNTH_CORR_JIT
 
 
 def mkfullsky_streamed(corr, nside, key=None, fchunk=16, op=None, roots=None):
@@ -392,7 +427,7 @@ def mkfullsky_streamed(corr, nside, key=None, fchunk=16, op=None, roots=None):
     """
     from .. import native
     from ..healpix import pixel as _pixel
-    from ..healpix.sht import SHT, synthesis_grid_correlated
+    from ..healpix.sht import get_sht
     from ..util import xfer
 
     if key is None:
@@ -412,22 +447,20 @@ def mkfullsky_streamed(corr, nside, key=None, fchunk=16, op=None, roots=None):
         roots_d = xfer.put(host_covariance_roots(corr).astype(np.float32))
 
     if op is None:
-        big = int(nside) > 512  # cached Λ exceeds single-chip HBM past 512
-        op = SHT(
-            int(nside), int(lmax),
-            legendre_mode="scan" if big else "cached",
-            scan_ckpt=big,
-            fft_mode="xla" if jax.default_backend() == "cpu" else "mm",
-        )
+        # the cached, placement-aware factory: one operator (and one set
+        # of resident device tables, disk-cached Λ/checkpoint builds) per
+        # geometry per process.  Constructing a throwaway SHT here cost
+        # every repeat mkfullsky call a full host Λ rebuild + device
+        # transfer + jit retrace — measured 8 s/call at nside=128 × 64 ch
+        # in the constrained-galaxy steady state.
+        op = get_sht(int(nside), int(lmax))
     elif op.nside != int(nside) or op.lmax != int(lmax):
         raise ValueError("op does not match requested nside/lmax")
     tables = op.tables(False)
     info = _pixel.ring_info(int(nside))
     npix = _pixel.nside2npix(int(nside))
 
-    synth = jax.jit(
-        synthesis_grid_correlated, static_argnums=(0, 5)
-    )
+    synth = _synth_corr_jit()
 
     fchunk = min(fchunk, nz)
     for z_lo in range(0, nz, fchunk):
